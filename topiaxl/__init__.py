@@ -1,0 +1,13 @@
+"""topiaxl — a TPU-native (JAX/XLA/Pallas) framework for PrimX 3D asset generation.
+
+Re-designed from scratch with the capabilities of 3DTopia-XL (reference:
+/root/reference): a Diffusion Transformer over PrimX volumetric primitives,
+a 3D VAE payload compressor, DINOv2 image conditioning, a volumetric
+primitive raymarcher, and a full PrimX -> textured GLB extraction pipeline.
+
+Everything on the compute path is JAX (jit/vmap/shard_map/pallas); the
+design targets TPU MXU/VPU + HBM characteristics rather than translating
+the reference's CUDA kernels.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,411 @@
+"""Functional Gaussian-diffusion sampling and training losses for TPU.
+
+Re-designs the reference's class-based, generator-yielding sampler
+(models/diffusion/gaussian_diffusion.py:145-806) as pure functions suitable
+for ``jax.jit``: the denoising loop is a ``lax.scan`` over a static-length
+timestep list, so XLA compiles ONE step and iterates it on-device — no
+host round-trips between steps.
+
+``model_fn`` receives ``(x, t_original)`` where ``t_original`` is already
+mapped through ``tables.timestep_map`` (the reference's _WrappedModel,
+respace.py:117-129).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import Diffusion, DiffusionTables
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _extract(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-batch scalars from a 1-D table and broadcast to ndim dims
+    (reference gaussian_diffusion.py:880-892)."""
+    out = table[t].astype(jnp.float32)
+    return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+def q_sample(tables: DiffusionTables, x_start, t, noise):
+    """Sample q(x_t | x_0) (reference gaussian_diffusion.py:216-231)."""
+    nd = x_start.ndim
+    return (
+        _extract(tables.sqrt_alphas_cumprod, t, nd) * x_start
+        + _extract(tables.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+    )
+
+
+def q_mean_variance(tables: DiffusionTables, x_start, t):
+    nd = x_start.ndim
+    mean = _extract(tables.sqrt_alphas_cumprod, t, nd) * x_start
+    variance = _extract(1.0 - tables.alphas_cumprod, t, nd)
+    log_variance = _extract(tables.log_one_minus_alphas_cumprod, t, nd)
+    return mean, variance, log_variance
+
+
+def q_posterior_mean_variance(tables: DiffusionTables, x_start, x_t, t):
+    nd = x_t.ndim
+    posterior_mean = (
+        _extract(tables.posterior_mean_coef1, t, nd) * x_start
+        + _extract(tables.posterior_mean_coef2, t, nd) * x_t
+    )
+    posterior_variance = _extract(tables.posterior_variance, t, nd)
+    posterior_log_variance = _extract(tables.posterior_log_variance_clipped, t, nd)
+    return posterior_mean, posterior_variance, posterior_log_variance
+
+
+def predict_xstart_from_eps(tables: DiffusionTables, x_t, t, eps):
+    nd = x_t.ndim
+    return (
+        _extract(tables.sqrt_recip_alphas_cumprod, t, nd) * x_t
+        - _extract(tables.sqrt_recipm1_alphas_cumprod, t, nd) * eps
+    )
+
+
+def predict_xstart_from_v(tables: DiffusionTables, x_t, t, v):
+    """v-parameterization x0 recovery (gaussian_diffusion.py:340-344)."""
+    nd = x_t.ndim
+    return (
+        _extract(tables.sqrt_alphas_cumprod, t, nd) * x_t
+        - _extract(tables.sqrt_one_minus_alphas_cumprod, t, nd) * v
+    )
+
+
+def predict_eps_from_xstart(tables: DiffusionTables, x_t, t, pred_xstart):
+    nd = x_t.ndim
+    return (
+        _extract(tables.sqrt_recip_alphas_cumprod, t, nd) * x_t - pred_xstart
+    ) / _extract(tables.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+def get_v(tables: DiffusionTables, x, noise, t):
+    """Velocity target (gaussian_diffusion.py:358-362)."""
+    nd = x.ndim
+    return (
+        _extract(tables.sqrt_alphas_cumprod, t, nd) * noise
+        - _extract(tables.sqrt_one_minus_alphas_cumprod, t, nd) * x
+    )
+
+
+class PMeanVariance(NamedTuple):
+    mean: jnp.ndarray
+    variance: jnp.ndarray
+    log_variance: jnp.ndarray
+    pred_xstart: jnp.ndarray
+
+
+def p_mean_variance(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+) -> PMeanVariance:
+    """p(x_{t-1} | x_t) mean/variance + x0 prediction
+    (reference gaussian_diffusion.py:255-338)."""
+    tables = diffusion.tables
+    nd = x.ndim
+    C = x.shape[-1]
+    t_orig = tables.timestep_map[t]
+    model_output = model_fn(x, t_orig)
+
+    if diffusion.var_type in ("learned", "learned_range"):
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        if diffusion.var_type == "learned_range":
+            min_log = _extract(tables.posterior_log_variance_clipped, t, nd)
+            max_log = _extract(tables.log_betas, t, nd)
+            frac = (model_var_values.astype(jnp.float32) + 1) / 2
+            model_log_variance = frac * max_log + (1 - frac) * min_log
+        else:
+            model_log_variance = model_var_values.astype(jnp.float32)
+        model_variance = jnp.exp(model_log_variance)
+    elif diffusion.var_type == "fixed_large":
+        model_variance = _extract(tables.fixed_large_variance, t, nd) * jnp.ones_like(x)
+        model_log_variance = _extract(tables.fixed_large_log_variance, t, nd) * jnp.ones_like(x)
+    elif diffusion.var_type == "fixed_small":
+        model_variance = _extract(tables.posterior_variance, t, nd) * jnp.ones_like(x)
+        model_log_variance = _extract(
+            tables.posterior_log_variance_clipped, t, nd
+        ) * jnp.ones_like(x)
+    else:
+        raise NotImplementedError(diffusion.var_type)
+
+    def process_xstart(x0):
+        if denoised_fn is not None:
+            x0 = denoised_fn(x0)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    model_output = model_output.astype(jnp.float32)
+    if diffusion.mean_type == "xstart":
+        pred_xstart = process_xstart(model_output)
+    elif diffusion.mean_type == "eps":
+        pred_xstart = process_xstart(predict_xstart_from_eps(tables, x, t, model_output))
+    elif diffusion.mean_type == "v":
+        pred_xstart = process_xstart(predict_xstart_from_v(tables, x, t, model_output))
+    else:
+        raise NotImplementedError(diffusion.mean_type)
+
+    model_mean, _, _ = q_posterior_mean_variance(tables, pred_xstart, x, t)
+    return PMeanVariance(model_mean, model_variance, model_log_variance, pred_xstart)
+
+
+# ---------------------------------------------------------------------------
+# Ancestral (DDPM) sampling
+# ---------------------------------------------------------------------------
+
+def p_sample(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    x,
+    t,
+    key,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+):
+    """One ancestral step (reference gaussian_diffusion.py:394-435)."""
+    out = p_mean_variance(diffusion, model_fn, x, t, clip_denoised, denoised_fn)
+    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    nonzero = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    sample = out.mean + nonzero * jnp.exp(0.5 * out.log_variance) * noise
+    return sample, out.pred_xstart
+
+
+def ddim_sample(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    x,
+    t,
+    key,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+    eta: float = 0.0,
+):
+    """One DDIM step (reference gaussian_diffusion.py:531-578)."""
+    tables = diffusion.tables
+    nd = x.ndim
+    out = p_mean_variance(diffusion, model_fn, x, t, clip_denoised, denoised_fn)
+    eps = predict_eps_from_xstart(tables, x, t, out.pred_xstart)
+
+    alpha_bar = _extract(tables.alphas_cumprod, t, nd)
+    alpha_bar_prev = _extract(tables.alphas_cumprod_prev, t, nd)
+    sigma = (
+        eta
+        * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+        * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+    )
+    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    mean_pred = (
+        out.pred_xstart * jnp.sqrt(alpha_bar_prev)
+        + jnp.sqrt(1 - alpha_bar_prev - sigma**2) * eps
+    )
+    nonzero = (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (nd - 1))
+    sample = mean_pred + nonzero * sigma * noise
+    return sample, out.pred_xstart
+
+
+class SampleLoopOutput(NamedTuple):
+    sample: jnp.ndarray            # final x_0-level sample [B, ...]
+    pred_xstart: jnp.ndarray       # final x0 prediction
+    trajectory: Optional[jnp.ndarray]  # [num_steps, B, ...] per-step samples
+
+
+def _sample_loop(
+    step_fn,
+    diffusion: Diffusion,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    keep_trajectory: bool,
+):
+    num_steps = diffusion.num_timesteps
+    indices = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+    keys = jax.random.split(key, num_steps)
+    batch = noise.shape[0]
+
+    def body(carry, inp):
+        x, _ = carry
+        i, k = inp
+        t = jnp.full((batch,), i, dtype=jnp.int32)
+        sample, pred_xstart = step_fn(x, t, k)
+        y = sample if keep_trajectory else jnp.zeros((0,), dtype=sample.dtype)
+        return (sample, pred_xstart), y
+
+    (final, pred_xstart), ys = jax.lax.scan(
+        body, (noise, jnp.zeros_like(noise)), (indices, keys)
+    )
+    traj = ys if keep_trajectory else None
+    return SampleLoopOutput(sample=final, pred_xstart=pred_xstart, trajectory=traj)
+
+
+def ddim_sample_loop(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+    eta: float = 0.0,
+    keep_trajectory: bool = False,
+) -> SampleLoopOutput:
+    """Full DDIM chain as one compiled scan
+    (reference gaussian_diffusion.py:651-698 yields host-side per step;
+    here every step stays on-device)."""
+
+    def step(x, t, k):
+        return ddim_sample(diffusion, model_fn, x, t, k, clip_denoised, denoised_fn, eta)
+
+    return _sample_loop(step, diffusion, noise, key, keep_trajectory)
+
+
+def p_sample_loop(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    clip_denoised: bool = False,
+    denoised_fn=None,
+    keep_trajectory: bool = False,
+) -> SampleLoopOutput:
+    """Full ancestral chain (reference gaussian_diffusion.py:482-529)."""
+
+    def step(x, t, k):
+        return p_sample(diffusion, model_fn, x, t, k, clip_denoised, denoised_fn)
+
+    return _sample_loop(step, diffusion, noise, key, keep_trajectory)
+
+
+# ---------------------------------------------------------------------------
+# Likelihoods / training losses
+# ---------------------------------------------------------------------------
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL between two gaussians (reference diffusion_utils.py:10-36)."""
+    return 0.5 * (
+        -1.0
+        + logvar2
+        - logvar1
+        + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2)
+    )
+
+
+def approx_standard_normal_cdf(x):
+    return 0.5 * (
+        1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi) * (x + 0.044715 * jnp.power(x, 3)))
+    )
+
+
+def discretized_gaussian_log_likelihood(x, *, means, log_scales):
+    """Log-likelihood of a discretized Gaussian
+    (reference diffusion_utils.py:62-88)."""
+    centered_x = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered_x + 1.0 / 255.0)
+    cdf_plus = approx_standard_normal_cdf(plus_in)
+    min_in = inv_stdv * (centered_x - 1.0 / 255.0)
+    cdf_min = approx_standard_normal_cdf(min_in)
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, min=1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, min=1e-12))
+    cdf_delta = cdf_plus - cdf_min
+    log_probs = jnp.where(
+        x < -0.999,
+        log_cdf_plus,
+        jnp.where(
+            x > 0.999, log_one_minus_cdf_min, jnp.log(jnp.clip(cdf_delta, min=1e-12))
+        ),
+    )
+    return log_probs
+
+
+def mean_flat(x):
+    return x.reshape(x.shape[0], -1).mean(axis=-1)
+
+
+def vb_terms_bpd(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    x_start,
+    x_t,
+    t,
+    clip_denoised: bool = False,
+):
+    """Variational-bound term in bits/dim (reference gaussian_diffusion.py:700-731)."""
+    tables = diffusion.tables
+    true_mean, _, true_log_var = q_posterior_mean_variance(tables, x_start, x_t, t)
+    out = p_mean_variance(diffusion, model_fn, x_t, t, clip_denoised=clip_denoised)
+    kl = normal_kl(true_mean, true_log_var, out.mean, out.log_variance)
+    kl = mean_flat(kl) / jnp.log(2.0)
+    decoder_nll = -discretized_gaussian_log_likelihood(
+        x_start, means=out.mean, log_scales=0.5 * out.log_variance
+    )
+    decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
+    output = jnp.where(t == 0, decoder_nll, kl)
+    return output, out.pred_xstart
+
+
+def training_losses(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    x_start,
+    t,
+    key,
+    noise=None,
+):
+    """Per-example training losses (reference gaussian_diffusion.py:733-806).
+
+    ``t`` is an index into the (possibly respaced) chain; for training the
+    chain is normally unspaced so t == original timestep.
+    """
+    tables = diffusion.tables
+    if noise is None:
+        noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
+    x_t = q_sample(tables, x_start, t, noise)
+    terms = {}
+
+    if diffusion.loss_type in ("kl", "rescaled_kl"):
+        out, _ = vb_terms_bpd(diffusion, model_fn, x_start, x_t, t)
+        terms["loss_total"] = out
+        if diffusion.loss_type == "rescaled_kl":
+            terms["loss_total"] = terms["loss_total"] * diffusion.num_timesteps
+        return terms
+
+    t_orig = tables.timestep_map[t]
+    model_output = model_fn(x_t, t_orig).astype(jnp.float32)
+
+    if diffusion.var_type in ("learned", "learned_range"):
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        # Learn the variance via the VB term without letting it affect the
+        # mean prediction (frozen_out trick, gaussian_diffusion.py:776-787).
+        frozen_out = jnp.concatenate(
+            [jax.lax.stop_gradient(model_output), model_var_values], axis=-1
+        )
+        vb, _ = vb_terms_bpd(
+            diffusion,
+            lambda *_args: frozen_out,
+            x_start,
+            x_t,
+            t,
+            clip_denoised=False,
+        )
+        if diffusion.loss_type == "rescaled_mse":
+            vb = vb * (diffusion.num_timesteps / 1000.0)
+        terms["loss_vb"] = vb
+
+    if diffusion.mean_type == "xstart":
+        target = x_start
+    elif diffusion.mean_type == "eps":
+        target = noise
+    elif diffusion.mean_type == "v":
+        target = get_v(tables, x_start, noise, t)
+    else:
+        raise NotImplementedError(diffusion.mean_type)
+
+    terms["loss_mse"] = mean_flat((target - model_output) ** 2)
+    terms["loss_total"] = terms["loss_mse"] + terms.get("loss_vb", 0.0)
+    return terms
