@@ -1,11 +1,13 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax initializes a backend.
+The environment's sitecustomize registers a TPU ('axon') backend and
+overrides JAX_PLATFORMS, so plain env vars are not enough — we force the
+platform through jax.config after import, and set the host device count
+flag before the CPU backend is first initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.device_count() == 8, jax.devices()

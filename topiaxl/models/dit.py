@@ -1,0 +1,242 @@
+"""PrimX Diffusion Transformer (DiT) — flax/TPU implementation.
+
+Same architecture contract as the reference generator
+(models/dit_crossattn.py:25-213): 2048 prim tokens x 68ch, Linear token
+embed (no patchify/pos-emb), sinusoidal t-embedding, `depth` blocks of
+[adaLN-Zero 9-way modulation -> cross-attn to image tokens -> self-attn ->
+GELU-tanh MLP], adaLN final layer, learn_sigma doubling the output
+channels, learned null-cond embedding for CFG.
+
+TPU-first differences from the reference:
+* bf16 matmuls with f32 LayerNorm/softmax/residuals instead of fp16
+  autocast (dit_crossattn.py:197).
+* ``precompute_kv``: the conditioning tokens are constant over the whole
+  denoise chain, so per-block cross-attn K/V are projected once per
+  sample and reused for all steps and both CFG branches.
+* CFG runs the cond/uncond pair as one batch of 2 through a single jitted
+  call (dit_crossattn.py:204-213 semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    CrossAttention,
+    LayerNormF32,
+    Mlp,
+    SelfAttention,
+    TimestepEmbedder,
+    modulate,
+)
+
+Dtype = Any
+
+
+class DiTBlock(nn.Module):
+    """One DiT block with adaLN-Zero 9-chunk modulation
+    (reference models/dit_crossattn.py:25-58)."""
+
+    hidden_size: int
+    cond_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    proj_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    attn_backend: str = "xla"
+
+    def setup(self):
+        self.norm1 = LayerNormF32()
+        self.crossattn = CrossAttention(
+            dim=self.hidden_size, num_heads=self.num_heads, qkv_bias=True,
+            proj_bias=self.proj_bias, dtype=self.dtype, backend=self.attn_backend,
+        )
+        self.norm2 = LayerNormF32()
+        self.attn = SelfAttention(
+            dim=self.hidden_size, num_heads=self.num_heads, qkv_bias=True,
+            proj_bias=self.proj_bias, dtype=self.dtype, backend=self.attn_backend,
+        )
+        self.norm3 = LayerNormF32()
+        self.mlp = Mlp(
+            hidden_features=int(self.hidden_size * self.mlp_ratio),
+            out_features=self.hidden_size, dtype=self.dtype,
+        )
+        # zero-init so each block starts as identity (dit_crossattn.py:173-176)
+        self.adaLN = nn.Dense(
+            9 * self.hidden_size, dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="adaLN_modulation",
+        )
+
+    def cond_kv(self, y: jnp.ndarray):
+        return self.crossattn.kv(y.astype(self.dtype))
+
+    def __call__(self, x: jnp.ndarray, kv, t_emb: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, N, D] f32 residual stream; kv: (k, v) precomputed;
+        t_emb: [B, D] f32."""
+        mods = self.adaLN(nn.silu(t_emb))
+        (s_mca, sc_mca, g_mca, s_msa, sc_msa, g_msa,
+         s_mlp, sc_mlp, g_mlp) = jnp.split(mods, 9, axis=-1)
+
+        h = modulate(self.norm1(x), s_mca, sc_mca).astype(self.dtype)
+        x = x + g_mca[:, None, :] * self.crossattn.attend(h, *kv).astype(jnp.float32)
+
+        h = modulate(self.norm2(x), s_msa, sc_msa).astype(self.dtype)
+        x = x + g_msa[:, None, :] * self.attn(h).astype(jnp.float32)
+
+        h = modulate(self.norm3(x), s_mlp, sc_mlp).astype(self.dtype)
+        x = x + g_mlp[:, None, :] * self.mlp(h).astype(jnp.float32)
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN(2-chunk) + zero-init projection (reference dit_crossattn.py:61-78)."""
+
+    hidden_size: int
+    out_channels: int
+
+    def setup(self):
+        self.norm_final = LayerNormF32()
+        self.linear = nn.Dense(
+            self.out_channels, dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )
+        self.adaLN = nn.Dense(
+            2 * self.hidden_size, dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="adaLN_modulation",
+        )
+
+    def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
+        shift, scale = jnp.split(self.adaLN(nn.silu(t_emb)), 2, axis=-1)
+        x = modulate(self.norm_final(x), shift, scale)
+        return self.linear(x)
+
+
+class DiT(nn.Module):
+    """Flagship generator (reference models/dit_crossattn.py:111-213)."""
+
+    seq_length: int = 2048
+    in_channels: int = 68
+    condition_channels: int = 768
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    cond_drop_prob: float = 0.0
+    attn_proj_bias: bool = True
+    learn_sigma: bool = True
+    dtype: Dtype = jnp.bfloat16
+    attn_backend: str = "xla"
+    remat: bool = False  # rematerialize blocks for training memory
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    def setup(self):
+        self.x_embedder = nn.Dense(
+            self.hidden_size, dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )
+        self.t_embedder = TimestepEmbedder(self.hidden_size)
+        block = DiTBlock
+        if self.remat:
+            block = nn.remat(DiTBlock, static_argnums=())
+        self.blocks = [
+            block(
+                hidden_size=self.hidden_size,
+                cond_dim=self.condition_channels,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                proj_bias=self.attn_proj_bias,
+                dtype=self.dtype,
+                attn_backend=self.attn_backend,
+            )
+            for _ in range(self.depth)
+        ]
+        self.final_layer = FinalLayer(
+            hidden_size=self.hidden_size, out_channels=self.out_channels
+        )
+        if self.cond_drop_prob > 0:
+            self.null_cond_embedding = self.param(
+                "null_cond_embedding",
+                nn.initializers.normal(1.0),
+                (self.condition_channels,),
+            )
+
+    # ---- conditioning helpers -------------------------------------------
+
+    def precompute_kv(self, y: jnp.ndarray):
+        """Per-block cross-attn K/V for a conditioning sequence [B, M, C]."""
+        return [blk.cond_kv(y) for blk in self.blocks]
+
+    def null_kv(self, batch: int, seq: int):
+        y = jnp.broadcast_to(
+            self.null_cond_embedding[None, None, :],
+            (batch, seq, self.condition_channels),
+        )
+        return self.precompute_kv(y)
+
+    # ---- forward passes ---------------------------------------------------
+
+    def forward_kv(self, x: jnp.ndarray, t: jnp.ndarray, kvs) -> jnp.ndarray:
+        """Denoise step against precomputed per-block K/V."""
+        x = self.x_embedder(x.astype(jnp.float32))
+        t_emb = self.t_embedder(t)
+        for blk, kv in zip(self.blocks, kvs):
+            x = blk(x, kv, t_emb)
+        return self.final_layer(x, t_emb)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        y: jnp.ndarray,
+        train: bool = False,
+        drop_key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """x: [B, N, C_in]; t: [B] int; y: [B, M, C_cond] -> [B, N, C_out].
+
+        During training, whole samples' conditioning is replaced by the
+        null embedding with prob ``cond_drop_prob``
+        (reference dit_crossattn.py:193-196).
+        """
+        if train and self.cond_drop_prob > 0 and drop_key is not None:
+            drop = (
+                jax.random.uniform(drop_key, (y.shape[0],)) < self.cond_drop_prob
+            )
+            null = self.null_cond_embedding[None, None, :]
+            y = jnp.where(drop[:, None, None], null, y)
+        kvs = self.precompute_kv(y)
+        return self.forward_kv(x, t, kvs)
+
+    def forward_with_cfg(
+        self, x: jnp.ndarray, t: jnp.ndarray, y: jnp.ndarray, cfg_scale: float
+    ) -> jnp.ndarray:
+        """Classifier-free guidance via batch doubling
+        (reference dit_crossattn.py:204-213)."""
+        combined = jnp.concatenate([x, x], axis=0)
+        combined_t = jnp.concatenate([t, t], axis=0)
+        y_null = jnp.broadcast_to(
+            self.null_cond_embedding[None, None, :], y.shape
+        )
+        combined_y = jnp.concatenate([y, y_null], axis=0)
+        out = self(combined, combined_t, combined_y)
+        cond, uncond = jnp.split(out, 2, axis=0)
+        return uncond + cfg_scale * (cond - uncond)
+
+    def forward_with_cfg_kv(self, x, t, kvs_pair, cfg_scale: float):
+        """CFG against precomputed cond+null K/V stacked on the batch axis.
+
+        ``kvs_pair`` is a list of (k, v) whose batch dim is 2B: [cond; null].
+        """
+        combined = jnp.concatenate([x, x], axis=0)
+        combined_t = jnp.concatenate([t, t], axis=0)
+        out = self.forward_kv(combined, combined_t, kvs_pair)
+        cond, uncond = jnp.split(out, 2, axis=0)
+        return uncond + cfg_scale * (cond - uncond)

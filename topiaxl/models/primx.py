@@ -1,0 +1,176 @@
+"""PrimX neural field — the 3D representation (TPU-native).
+
+Capability parity with the reference PrimSDF (models/primsdf.py:10-136):
+N volumetric primitives, each a (scale, position) plus a dense S^3 x 6
+payload [SDF, R, G, B, roughness, metallic]; querying a 3D point blends
+trilinear samples of every covering primitive with normalized tent
+weights, and (at inference) fills uncovered space with a nearest-voxel
+signed-distance approximation.
+
+TPU-first re-design: the reference gathers a data-dependent set of
+(point, prim) pairs and scatters with ``index_add_``
+(models/primsdf.py:72-79) — dynamic shapes that XLA can't tile. Here the
+candidate set is a FIXED top-K over the dense [P, N] weight matrix
+(weights are exact because normalization uses the full sum; only
+contributions beyond the K-th covering prim are dropped, and prims
+overlap sparsely by construction), so every step is a static-shape
+matmul/gather that lowers cleanly to MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import gather_volume_trilinear
+
+
+class PrimXParams(NamedTuple):
+    """srt: [N, 4] = (scale, x, y, z); feat: [N, C * S^3] channel-major
+    ([0:S^3]=SDF, [S^3:4S^3]=RGB, [4S^3:6S^3]=rough/metal), matching the
+    reference parameterization (models/primsdf.py:26-33)."""
+
+    srt: jnp.ndarray
+    feat: jnp.ndarray
+
+
+def zeros_params(num_prims: int = 2048, dim_feat: int = 6, prim_shape: int = 8):
+    return PrimXParams(
+        srt=jnp.zeros((num_prims, 4), jnp.float32),
+        feat=jnp.zeros((num_prims, dim_feat * prim_shape**3), jnp.float32),
+    )
+
+
+def local_grid(prim_shape: int) -> np.ndarray:
+    """Voxel-center offsets in xyz, flat index f = i*S^2 + j*S + k with
+    (x, y, z) = (lin[k], lin[j], lin[i]) — the same memory order the payload
+    volume uses (reference models/primsdf.py:37-41)."""
+    lin = np.linspace(-1.0, 1.0, prim_shape, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")  # index (i,j,k)
+    # world x comes from the LAST (k) axis, z from the first (i)
+    return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+
+
+def prim_weights(srt: jnp.ndarray, x: jnp.ndarray):
+    """Unnormalized tent weights w = relu(1 - ||(x-pos)/scale||_inf) and
+    their sum (reference models/primsdf.py:104-109).
+
+    x: [P, 3]; returns (w [P, N], wsum [P, 1]).
+    """
+    pos = srt[:, 1:4]
+    scale = srt[:, 0:1]
+    rel = (x[:, None, :] - pos[None, :, :]) / scale[None, :, :]
+    w = jax.nn.relu(1.0 - jnp.max(jnp.abs(rel), axis=-1))
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    return w, wsum
+
+
+def sdf2alpha(sdf: jnp.ndarray, var: float = 0.005) -> jnp.ndarray:
+    """Soft SDF->opacity (reference models/primsdf.py:111-112)."""
+    return jnp.exp(-((sdf / var) ** 2))
+
+
+@partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k", "training"))
+def query(
+    params: PrimXParams,
+    x: jnp.ndarray,
+    dim_feat: int = 6,
+    prim_shape: int = 8,
+    top_k: int = 32,
+    training: bool = False,
+):
+    """Evaluate the field at points x [P, 3] -> dict(sdf [P,1], tex [P,3],
+    mat [P,2], feat [P,C]) (reference models/primsdf.py:52-102).
+
+    top_k bounds how many covering prims contribute per point (static
+    shape); the reference's dynamic gather has no such bound but prims
+    rarely stack deeper than a handful.
+    """
+    N = params.srt.shape[0]
+    S = prim_shape
+    C = dim_feat
+    pos = params.srt[:, 1:4]
+    scale = params.srt[:, 0:1]
+
+    w, wsum = prim_weights(params.srt, x)
+    k = min(top_k, N)
+    w_top, idx = jax.lax.top_k(w, k)  # [P, K]
+
+    # local coords of each point inside its top-K prims (xyz in [-1,1])
+    pos_k = jnp.take(pos, idx, axis=0)      # [P, K, 3]
+    scale_k = jnp.take(scale, idx, axis=0)  # [P, K, 1]
+    coords = (x[:, None, :] - pos_k) / scale_k
+
+    # payload volumes as [N, S^3, C] (channels last for lane-dim gathers)
+    vols = params.feat.reshape(N, C, S**3).transpose(0, 2, 1)
+    sampled = gather_volume_trilinear(vols, idx, coords, (S, S, S))  # [P,K,C]
+
+    wn = jnp.where(w_top > 0, w_top, 0.0) / (wsum + 1e-6)
+    feat = jnp.sum(sampled * wn[..., None], axis=1)  # [P, C]
+
+    if not training:
+        # uncovered-point SDF fallback (models/primsdf.py:82-101)
+        covered = (wsum[:, 0] > 0)
+        dist = jnp.linalg.norm(x[:, None, :] - pos[None, :, :], axis=-1)
+        near = jnp.argmin(dist, axis=-1)  # [P]
+        near_pos = jnp.take(pos, near, axis=0)
+        near_scale = jnp.take(scale, near, axis=0)
+        grid = jnp.asarray(local_grid(S))  # [S^3, 3]
+        cand = near_pos[:, None, :] + near_scale[:, :, None] * grid[None]
+        pts_dist = jnp.linalg.norm(x[:, None, :] - cand, axis=-1)  # [P, S^3]
+        min_dist = jnp.min(pts_dist, axis=-1)
+        f_idx = jnp.argmin(pts_dist, axis=-1)
+        feat_geo = params.feat[:, : S**3]
+        sdf_near = feat_geo[near, f_idx]
+        approx_sdf = sdf_near + min_dist * jnp.sign(sdf_near)
+        sdf = jnp.where(covered, feat[:, 0], approx_sdf)[:, None]
+    else:
+        sdf = feat[:, 0:1]
+
+    return {
+        "sdf": sdf,
+        "tex": jnp.clip(feat[:, 1:4], 0.0, 1.0),
+        "mat": jnp.clip(feat[:, 4:6], 0.0, 1.0),
+        "feat": feat,
+    }
+
+
+def query_chunked(
+    params: PrimXParams,
+    pts: jnp.ndarray,
+    chunk: int = 8192,
+    **kw,
+):
+    """Field query over a large point set via lax.map over fixed chunks
+    (replaces the host-side chunk loop, reference inference.py:110-116)."""
+    P = pts.shape[0]
+    pad = (-P) % chunk
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    batches = pts_p.reshape(-1, chunk, 3)
+    out = jax.lax.map(lambda p: query(params, p, **kw), batches)
+    return {k: v.reshape(-1, v.shape[-1])[:P] for k, v in out.items()}
+
+
+class PrimX(NamedTuple):
+    """Lightweight model descriptor (constructed from config; the reference
+    class also carries mesh-fitting state we keep in pipelines/fit)."""
+
+    num_prims: int = 2048
+    dim_feat: int = 6
+    prim_shape: int = 8
+    init_scale: float = 0.05
+    sdf2alpha_var: float = 0.005
+    auto_scale_init: bool = True
+    init_sampling: str = "uniform"
+
+    def init_params(self) -> PrimXParams:
+        return zeros_params(self.num_prims, self.dim_feat, self.prim_shape)
+
+    def query(self, params: PrimXParams, x: jnp.ndarray, **kw):
+        kw.setdefault("dim_feat", self.dim_feat)
+        kw.setdefault("prim_shape", self.prim_shape)
+        return query(params, x, **kw)

@@ -1,0 +1,60 @@
+"""Multi-head attention for DiT / VAE / ViT stacks.
+
+Replaces the reference's xformers ``memory_efficient_attention`` wrappers
+(models/attention.py:20-114). Two backends behind one API:
+
+* ``xla``   — plain einsum attention; for the model's 2048-token sequences
+              XLA already fuses this well and the logits fit comfortably
+              in HBM.
+* ``pallas``— a fused FlashAttention-style TPU kernel (ops/flash_attention)
+              that tiles Q/K/V through VMEM; used on TPU for long
+              sequences / lower memory.
+
+Scale semantics note: xformers applies 1/sqrt(head_dim) internally. The
+reference's cross-attention ALSO pre-multiplies q by head_dim**-0.5
+(models/attention.py:105), so its effective cross-attn scale is
+head_dim**-1 — a quirk baked into the released checkpoint that callers
+reproduce by passing ``scale=head_dim**-1``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    backend: str = "xla",
+) -> jnp.ndarray:
+    """Attention over [B, S, H, D] tensors (heads in dim 2, like xformers).
+
+    Softmax is computed in float32 regardless of input dtype; the output
+    keeps the input dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if backend == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
+
+
+@partial(jax.named_call, name="mha_xla")
+def _xla_attention(q, k, v, scale):
+    in_dtype = q.dtype
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(in_dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(in_dtype)
