@@ -1,0 +1,125 @@
+"""DiT generator invariants (reference models/dit_crossattn.py:25-213)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topiaxl.models import DiT
+
+
+def tiny_dit(**kw):
+    kw.setdefault("seq_length", 16)
+    kw.setdefault("in_channels", 8)
+    kw.setdefault("condition_channels", 12)
+    kw.setdefault("hidden_size", 32)
+    kw.setdefault("depth", 2)
+    kw.setdefault("num_heads", 4)
+    kw.setdefault("cond_drop_prob", 0.1)
+    kw.setdefault("dtype", jnp.float32)
+    return DiT(**kw)
+
+
+@pytest.fixture(scope="module")
+def dit_and_params():
+    model = tiny_dit()
+    x = jnp.zeros((2, 16, 8))
+    t = jnp.zeros((2,), jnp.int32)
+    y = jnp.zeros((2, 5, 12))
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    return model, params
+
+
+def test_output_shape_learn_sigma(dit_and_params):
+    model, params = dit_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    t = jnp.array([3, 7])
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+    out = model.apply(params, x, t, y)
+    assert out.shape == (2, 16, 16)  # 2x in_channels (learn_sigma)
+
+
+def test_zero_init_gives_zero_output(dit_and_params):
+    """adaLN-Zero + zero final projection => untrained net outputs 0
+    (reference dit_crossattn.py:173-182)."""
+    model, params = dit_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    t = jnp.array([3, 7])
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+    out = model.apply(params, x, t, y)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def _trained_like_params(model):
+    """Params with non-zero adaLN/final so the net actually computes."""
+    x = jnp.zeros((1, 16, 8))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1, 5, 12))
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    leaves = [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def test_precomputed_kv_matches_direct():
+    model = tiny_dit()
+    params = _trained_like_params(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    t = jnp.array([3, 7])
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+    direct = model.apply(params, x, t, y)
+    kvs = model.apply(params, y, method=DiT.precompute_kv)
+    via_kv = model.apply(params, x, t, kvs, method=DiT.forward_kv)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_kv), atol=1e-5)
+
+
+def test_cfg_scale_one_equals_cond():
+    model = tiny_dit()
+    params = _trained_like_params(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8))
+    t = jnp.array([5])
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 12))
+    cond = model.apply(params, x, t, y)
+    cfg = model.apply(params, x, t, y, 1.0, method=DiT.forward_with_cfg)
+    np.testing.assert_allclose(np.asarray(cfg), np.asarray(cond), atol=1e-4)
+
+
+def test_cfg_zero_equals_uncond():
+    model = tiny_dit()
+    params = _trained_like_params(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8))
+    t = jnp.array([5])
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 12))
+    null = params["params"]["null_cond_embedding"]
+    y_null = jnp.broadcast_to(null[None, None, :], y.shape)
+    uncond = model.apply(params, x, t, y_null)
+    cfg = model.apply(params, x, t, y, 0.0, method=DiT.forward_with_cfg)
+    np.testing.assert_allclose(np.asarray(cfg), np.asarray(uncond), atol=1e-4)
+
+
+def test_cond_actually_conditions():
+    model = tiny_dit()
+    params = _trained_like_params(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 8))
+    t = jnp.array([5])
+    y1 = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 12))
+    y2 = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 12))
+    o1 = model.apply(params, x, t, y1)
+    o2 = model.apply(params, x, t, y2)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+def test_timestep_embedding_matches_reference_formula():
+    from topiaxl.models.layers import timestep_embedding
+
+    t = jnp.array([0.0, 1.0, 999.0])
+    emb = np.asarray(timestep_embedding(t, 8))
+    half = 4
+    freqs = np.exp(-np.log(10000) * np.arange(half) / half)
+    args = np.asarray(t)[:, None] * freqs[None]
+    ref = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+    np.testing.assert_allclose(emb, ref, atol=1e-5)

@@ -1,0 +1,155 @@
+"""Extraction stack: isosurface, mesh cleanup, UV unwrap, rasterize,
+inpaint, GLB writer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from topiaxl.extract import (
+    box_projection_uv_unwrap,
+    clean_mesh,
+    compute_vertex_normal,
+    decimate_mesh,
+    extract_isosurface,
+    nearest_inpaint,
+    rasterize_uv_atlas,
+    write_glb,
+)
+from topiaxl.extract.glb import read_glb
+
+
+def _sphere_grid(r=32, radius=0.6):
+    lin = np.linspace(-1, 1, r, dtype=np.float32)
+    z, y, x = np.meshgrid(lin, lin, lin, indexing="ij")
+    return np.sqrt(x**2 + y**2 + z**2) - radius
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    grid = _sphere_grid()
+    v, f = extract_isosurface(grid)
+    return v, f
+
+
+def test_isosurface_sphere_geometry(sphere_mesh):
+    v, f = sphere_mesh
+    assert len(v) > 100 and len(f) > 100
+    # all vertices near the sphere of radius 0.6
+    r = np.linalg.norm(v, axis=1)
+    assert abs(r.mean() - 0.6) < 0.02
+    assert r.std() < 0.02
+
+
+def test_isosurface_watertight_and_oriented(sphere_mesh):
+    v, f = sphere_mesh
+    # watertight: every edge shared by exactly 2 faces
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # signed volume via divergence theorem: outward normals => positive
+    v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+    expected = 4.0 / 3.0 * np.pi * 0.6**3
+    assert abs(vol - expected) / expected < 0.05
+
+
+def test_isosurface_empty_cases():
+    v, f = extract_isosurface(np.ones((8, 8, 8), np.float32))
+    assert len(v) == 0 and len(f) == 0
+    v, f = extract_isosurface(-np.ones((8, 8, 8), np.float32))
+    assert len(v) == 0 and len(f) == 0
+
+
+def test_clean_mesh_removes_floaters(sphere_mesh):
+    v, f = sphere_mesh
+    # add a tiny floating triangle far away
+    extra_v = np.array([[5, 5, 5], [5.01, 5, 5], [5, 5.01, 5]], np.float32)
+    v2 = np.concatenate([v, extra_v])
+    f2 = np.concatenate([f, np.array([[len(v), len(v) + 1, len(v) + 2]])])
+    cv, cf = clean_mesh(v2, f2, min_f=8, min_d=5)
+    assert len(cf) == len(f)
+    assert np.abs(cv).max() < 1.5  # floater gone
+
+
+def test_decimate_mesh(sphere_mesh):
+    v, f = sphere_mesh
+    target = len(f) // 4
+    dv, df = decimate_mesh(v, f, target)
+    assert len(df) <= target
+    assert len(df) > target // 8
+    r = np.linalg.norm(dv, axis=1)
+    assert abs(r.mean() - 0.6) < 0.05  # still a sphere
+
+
+def test_uv_unwrap_disjoint_and_in_bounds(sphere_mesh):
+    v, f = sphere_mesh
+    vn = compute_vertex_normal(v, f)
+    uv, idx = box_projection_uv_unwrap(v, vn, f, 0.02)
+    assert uv.min() >= 0 and uv.max() <= 1
+    assert idx.shape == f.shape
+    # rasterize coverage twice: no texel should be claimed by two distant
+    # (non-edge-sharing) faces — approximate check via overwrite counting
+    uvc = uv[idx]
+    H = W = 128
+    attr = np.ones((len(f), 3, 1), np.float32)
+    _, mask = rasterize_uv_atlas(uvc, attr, H, W)
+    assert mask.sum() > 400  # nontrivial coverage
+
+
+def test_rasterize_interpolates_barycentric():
+    # one triangle covering a known region; attribute = uv itself
+    uvc = np.array([[[0.1, 0.1], [0.9, 0.1], [0.1, 0.9]]], np.float32)
+    attr = uvc.copy()  # interpolating uv must reproduce texel uv
+    out, mask = rasterize_uv_atlas(uvc, attr, 64, 64)
+    ys, xs = np.nonzero(mask)
+    got = out[ys, xs]
+    expect = np.stack([(xs + 0.5) / 64, (ys + 0.5) / 64], axis=1)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    assert 0.25 < mask.mean() < 0.4  # half of the 0.8^2 box
+
+
+def test_nearest_inpaint():
+    H = W = 32
+    feats = np.zeros((H, W, 3), np.float32)
+    mask = np.zeros((H, W), bool)
+    mask[12:20, 12:20] = True
+    feats[12:20, 12:20] = 1.0
+    out = nearest_inpaint(feats, mask, pad_width=4)
+    assert out[10, 16, 0] == 1.0  # band filled from nearest covered texel
+    assert out[0, 0, 0] == 0.0    # beyond the band untouched
+    assert (out[12:20, 12:20] == 1.0).all()
+
+
+def test_glb_roundtrip(tmp_path, sphere_mesh):
+    v, f = sphere_mesh
+    vn = compute_vertex_normal(v, f)
+    uv, idx = box_projection_uv_unwrap(v, vn, f, 0.02)
+    albedo = np.random.default_rng(0).uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    mr = np.zeros((64, 64, 3), np.float32)
+    path = os.path.join(tmp_path, "mesh.glb")
+    write_glb(path, v, f, uv, idx, albedo, mr)
+
+    gltf, bin_blob = read_glb(path)
+    assert gltf["asset"]["version"] == "2.0"
+    prim = gltf["meshes"][0]["primitives"][0]
+    assert "POSITION" in prim["attributes"]
+    assert "TEXCOORD_0" in prim["attributes"]
+    mat = gltf["materials"][0]["pbrMetallicRoughness"]
+    assert "baseColorTexture" in mat and "metallicRoughnessTexture" in mat
+    # accessor counts are consistent
+    pos_acc = gltf["accessors"][prim["attributes"]["POSITION"]]
+    uv_acc = gltf["accessors"][prim["attributes"]["TEXCOORD_0"]]
+    assert pos_acc["count"] == uv_acc["count"]
+    idx_acc = gltf["accessors"][prim["indices"]]
+    assert idx_acc["count"] % 3 == 0
+
+
+def test_glb_untextured(tmp_path):
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]])
+    path = os.path.join(tmp_path, "tri.glb")
+    write_glb(path, v, f)
+    gltf, _ = read_glb(path)
+    assert "images" not in gltf

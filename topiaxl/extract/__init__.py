@@ -1,0 +1,17 @@
+from .isosurface import extract_isosurface
+from .meshproc import clean_mesh, decimate_mesh
+from .glb import write_glb
+from .uv_unwrap import box_projection_uv_unwrap, compute_vertex_normal
+from .rasterize import rasterize_uv_atlas
+from .inpaint import nearest_inpaint
+
+__all__ = [
+    "extract_isosurface",
+    "clean_mesh",
+    "decimate_mesh",
+    "write_glb",
+    "box_projection_uv_unwrap",
+    "compute_vertex_normal",
+    "rasterize_uv_atlas",
+    "nearest_inpaint",
+]

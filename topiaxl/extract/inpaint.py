@@ -1,0 +1,42 @@
+"""Texture-seam inpainting by nearest covered texel.
+
+Replaces the reference's dilation-band + sklearn-KDTree KNN fill
+(inference.py:200-211) with a single exact Euclidean distance transform
+(scipy EDT with feature indices) — same result, no per-point tree walk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def nearest_inpaint(
+    feats: np.ndarray,   # [H, W, C]
+    mask: np.ndarray,    # [H, W] bool coverage
+    pad_width: int = 32,
+    search_ring: int = 3,
+) -> np.ndarray:
+    """Fill a ``pad_width``-pixel dilation band around the coverage mask
+    with the value of the nearest covered texel (taken from a thin ring
+    just inside the boundary, like the reference's eroded search region).
+    """
+    if not mask.any():
+        return feats
+    inpaint_region = ndimage.binary_dilation(mask, iterations=pad_width) & ~mask
+
+    search_region = mask.copy()
+    interior = ndimage.binary_erosion(search_region, iterations=search_ring)
+    search_region &= ~interior
+    if not search_region.any():
+        search_region = mask
+
+    # EDT over the complement of the search region returns, per pixel, the
+    # coordinates of the closest search pixel.
+    _, (ind_y, ind_x) = ndimage.distance_transform_edt(
+        ~search_region, return_indices=True
+    )
+    out = feats.copy()
+    ys, xs = np.nonzero(inpaint_region)
+    out[ys, xs] = feats[ind_y[ys, xs], ind_x[ys, xs]]
+    return out

@@ -1,0 +1,157 @@
+"""Fast box-projection UV unwrapping (host-side, numpy).
+
+Plays the role of the reference's "fast_unwrap" path
+(utils/uv_unwrap.py:644-685) and of xatlas for the default path
+(inference.py:152-160, unavailable here): faces are binned to one of six
+cube directions by normal, split into connected islands per bin, each
+island projected to its plane, and all islands shelf-packed into the
+atlas with padding. Unlike the reference's overlap-detection + extra
+atlas slots (utils/uv_unwrap.py:182-643), islands are packed disjointly
+by construction, so no two faces ever share texels.
+
+Contract matches the reference call site (inference.py:143-147):
+``uv, indices = box_projection_uv_unwrap(v, vn, f, padding)`` with
+``uv[indices]`` giving per-face-corner UVs in [0, 1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def compute_vertex_normal(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (reference utils/uv_unwrap.py:65-84)."""
+    v = np.asarray(v, np.float64)
+    f = np.asarray(f, np.int64)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    vn = np.zeros_like(v)
+    for c in range(3):
+        np.add.at(vn, f[:, c], fn)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = vn / np.maximum(norm, 1e-12)
+    return vn.astype(np.float32)
+
+
+_AXES_UV = {
+    # axis -> (u axis, v axis); chosen so the projection seen from outside
+    # the box is right-handed for the + side
+    0: (1, 2),
+    1: (0, 2),
+    2: (0, 1),
+}
+
+
+def _face_islands(faces: np.ndarray, num_verts: int) -> np.ndarray:
+    """Label faces by vertex-connected component (within one bin)."""
+    parent = np.arange(num_verts, dtype=np.int64)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for tri in faces:
+        r0 = find(tri[0])
+        parent[find(tri[1])] = r0
+        parent[find(tri[2])] = r0
+    return np.array([find(t) for t in faces[:, 0]], dtype=np.int64)
+
+
+def box_projection_uv_unwrap(
+    v: np.ndarray,
+    vn: np.ndarray,
+    f: np.ndarray,
+    island_padding: float = 0.02,
+):
+    """Unwrap. Returns (uv [M, 2] float32 in [0,1], indices [F, 3] int64)."""
+    v = np.asarray(v, np.float32)
+    f = np.asarray(f, np.int64)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+
+    axis = np.argmax(np.abs(fn), axis=1)          # 0/1/2
+    sign = np.sign(fn[np.arange(len(f)), axis])   # +-1
+    bin_id = axis * 2 + (sign < 0)                # 6 bins
+
+    islands = []  # (face_idx array, uv2d per corner [m,3,2], world w, h)
+    for b in range(6):
+        sel = np.nonzero(bin_id == b)[0]
+        if sel.size == 0:
+            continue
+        ax = b // 2
+        neg = bool(b % 2)
+        ua, va = _AXES_UV[ax]
+        labels = _face_islands(f[sel], len(v))
+        for lab in np.unique(labels):
+            fi = sel[labels == lab]
+            tri = f[fi]                   # [m, 3]
+            pts = v[tri]                  # [m, 3, 3]
+            uu = pts[..., ua]
+            vv = pts[..., va]
+            if neg:  # mirror so the island is seen from outside
+                uu = -uu
+            uv2 = np.stack([uu, vv], axis=-1)  # [m, 3, 2]
+            lo = uv2.reshape(-1, 2).min(0)
+            uv2 = uv2 - lo
+            size = uv2.reshape(-1, 2).max(0)
+            islands.append([fi, uv2, float(size[0]), float(size[1])])
+
+    # ---- shelf packing (world-proportional scale => uniform texel density)
+    pad = max(island_padding, 1e-3)
+    total_area = sum((w + 1e-6) * (h + 1e-6) for _, _, w, h in islands)
+    scale = np.sqrt(0.82 / max(total_area, 1e-12))
+
+    for _ in range(24):
+        placements = _shelf_pack(
+            [(w * scale, h * scale) for _, _, w, h in islands], pad
+        )
+        if placements is not None:
+            break
+        scale *= 0.92
+    else:
+        raise RuntimeError("uv packing failed")
+
+    uvs = []
+    indices = np.zeros((len(f), 3), np.int64)
+    offset = 0
+    for (fi, uv2, w, h), (x0, y0) in zip(islands, placements):
+        m = len(fi)
+        island_uv = uv2 * scale + np.array([x0, y0], np.float32)
+        # unique corners within the island -> shared uv entries
+        corners = np.round(island_uv.reshape(-1, 2) * 1e6).astype(np.int64)
+        _, first, inv = np.unique(
+            corners, axis=0, return_index=True, return_inverse=True
+        )
+        uvs.append(island_uv.reshape(-1, 2)[first])
+        indices[fi] = (inv + offset).reshape(m, 3)
+        offset += len(first)
+
+    uv = np.concatenate(uvs, axis=0).astype(np.float32)
+    uv = np.clip(uv, 0.0, 1.0)
+    return uv, indices
+
+
+def _shelf_pack(sizes, pad):
+    """Place rectangles into the unit square. Returns origins or None."""
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i][1])
+    pos = [None] * len(sizes)
+    x = pad
+    y = pad
+    shelf_h = 0.0
+    for i in order:
+        w, h = sizes[i]
+        if w > 1 - 2 * pad or h > 1 - 2 * pad:
+            return None
+        if x + w + pad > 1.0:
+            y += shelf_h + pad
+            x = pad
+            shelf_h = 0.0
+        if y + h + pad > 1.0:
+            return None
+        pos[i] = (x, y)
+        x += w + pad
+        shelf_h = max(shelf_h, h)
+    return pos

@@ -103,7 +103,7 @@ class VolumeAttention3D(nn.Module):
     def __call__(self, x):
         B, D, H, W, C = x.shape
         res = x
-        h = GroupNorm32(self.groups)(x)
+        h = GroupNorm32(min(self.groups, C))(x)
         h = h.reshape(B, D * H * W, C)
         h = SelfAttention(dim=C, num_heads=self.num_heads, qkv_bias=False,
                           proj_bias=True, dtype=self.dtype, name="attn")(
@@ -192,7 +192,7 @@ class Encoder3D(nn.Module):
                 name=f"down{i}")(x)
         x = MidBlock3D(attention=self.mid_attention, skip_scale=self.skip_scale,
                        dtype=self.dtype, name="mid")(x)
-        x = GroupNorm32(32)(x)
+        x = GroupNorm32(min(32, self.down_channels[-1]))(x)
         x = nn.silu(x)
         x = _conv(self.out_channels, dtype=self.dtype, name="conv_out")(x)
         return x
