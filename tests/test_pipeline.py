@@ -1,0 +1,121 @@
+"""End-to-end pipeline tests on tiny configs (the reference's e2e check is
+visual inspection, SURVEY.md §4; here: real asserts on a synthetic asset)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topiaxl.diffusion import create_diffusion
+from topiaxl.models import DiT, VAE3D
+from topiaxl.models.primx import PrimXParams, local_grid
+from topiaxl.pipelines import infer
+
+
+def test_generate_primx_shapes():
+    """Stage 1 on a tiny model: tokens -> PrimX params with right shapes."""
+    n_prims, in_ch, cond_ch = 8, 12, 6  # latent 2^3=8 ch + 4 srt
+    dit = DiT(seq_length=n_prims, in_channels=in_ch, condition_channels=cond_ch,
+              hidden_size=16, depth=1, num_heads=2, cond_drop_prob=0.1,
+              dtype=jnp.float32)
+    vae = VAE3D(in_channels=6, latent_channels=1, out_channels=6,
+                down_channels=(8, 16), up_channels=(16, 8),
+                layers_per_block=1, dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing="ddim4", noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=100,
+    )
+    key = jax.random.PRNGKey(0)
+    dit_params = dit.init(key, jnp.zeros((1, n_prims, in_ch)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, 3, cond_ch)))
+    # tiny vae: latent 4^3? payload here is 4^3 (prim_shape=4), latent 2^3
+    vae_params = vae.init(key, jnp.zeros((1, 4, 4, 4, 6)), key)
+
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cond_ch))
+    params = infer.generate_primx(
+        dit, vae, diffusion, dit_params, vae_params, y, key,
+        latent_mean=np.zeros(in_ch, np.float32),
+        latent_std=np.ones(in_ch, np.float32),
+        cfg_scale=2.0, prim_shape=4, dim_feat=6,
+    )
+    assert params.srt.shape == (n_prims, 4)
+    assert params.feat.shape == (n_prims, 6 * 4**3)
+    assert np.isfinite(np.asarray(params.srt)).all()
+    assert np.isfinite(np.asarray(params.feat)).all()
+
+
+def _sphere_primx(n_side=4, s=8, radius=0.55):
+    """PrimX params that analytically encode a sphere SDF + color."""
+    centers = np.linspace(-0.75, 0.75, n_side, dtype=np.float32)
+    grid = local_grid(s)  # [s^3, 3] xyz offsets in [-1, 1]
+    srt, feats = [], []
+    scale = 0.75 / (n_side - 1) * 2.0 * 1.2  # overlapping coverage
+    for cz in centers:
+        for cy in centers:
+            for cx in centers:
+                pos = np.array([cx, cy, cz], np.float32)
+                srt.append(np.concatenate([[scale], pos]))
+                world = pos[None] + scale * grid  # [s^3, 3]
+                sdf = np.linalg.norm(world, axis=1) - radius
+                rgb = np.stack([
+                    0.5 + 0.5 * world[:, 0],
+                    0.5 * np.ones(len(world)),
+                    0.5 - 0.5 * world[:, 1],
+                ], 0).clip(0, 1)
+                mat = np.stack([np.full(len(world), 0.8),
+                                np.full(len(world), 0.1)], 0)
+                feats.append(np.concatenate(
+                    [sdf[None], rgb, mat], axis=0).reshape(-1))
+    return PrimXParams(
+        srt=jnp.asarray(np.stack(srt)), feat=jnp.asarray(np.stack(feats))
+    )
+
+
+@pytest.mark.slow
+def test_extract_glb_from_synthetic_sphere(tmp_path):
+    params = _sphere_primx()
+    glb = infer.extract_glb(
+        params, str(tmp_path), mc_resolution=48, decimate=4000,
+        texture_size=128, batch_size=4096, prim_shape=8,
+        inpaint_pad=4, pos_scale=1.0,
+    )
+    assert os.path.exists(glb)
+    assert os.path.exists(os.path.join(tmp_path, "texture.jpg"))
+    assert os.path.exists(os.path.join(tmp_path, "roughness_metallic.jpg"))
+
+    from topiaxl.extract.glb import read_glb
+
+    gltf, bin_blob = read_glb(glb)
+    prim = gltf["meshes"][0]["primitives"][0]
+    pos_acc = gltf["accessors"][prim["attributes"]["POSITION"]]
+    assert pos_acc["count"] > 100
+    # sphere radius check from accessor min/max (pos_scale=1)
+    assert abs(max(pos_acc["max"]) - 0.55) < 0.1
+
+
+def test_noise_filter_neutralizes_outliers():
+    params = _sphere_primx(n_side=2)
+    # add one far-away lonely prim
+    srt = np.asarray(params.srt)
+    srt = np.concatenate(
+        [srt, np.array([[0.05, 3.0, 3.0, 3.0]], np.float32)], axis=0)
+    feat = np.concatenate(
+        [np.asarray(params.feat), np.zeros((1, params.feat.shape[1]), np.float32)]
+    )
+    out = infer.noise_filter(PrimXParams(jnp.asarray(srt), jnp.asarray(feat)))
+    assert float(out.srt[-1, 1]) > 100.0   # moved far away
+    assert float(out.srt[-1, 0]) < 1e-5    # zero scale
+    np.testing.assert_allclose(  # healthy prims untouched
+        np.asarray(out.srt[:-1]), srt[:-1], atol=1e-6)
+
+
+def test_save_load_primx(tmp_path):
+    params = _sphere_primx(n_side=2)
+    p = os.path.join(tmp_path, "denoised.npz")
+    infer.save_primx(p, params)
+    loaded = infer.load_primx(p)
+    np.testing.assert_array_equal(np.asarray(loaded.srt), np.asarray(params.srt))
+    np.testing.assert_array_equal(np.asarray(loaded.feat), np.asarray(params.feat))

@@ -16,6 +16,7 @@ from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 
 def get_named_beta_schedule(schedule_name: str, num_diffusion_timesteps: int) -> np.ndarray:
@@ -179,13 +180,15 @@ def build_tables(
     )
 
 
-class Diffusion(NamedTuple):
-    """Tables + static configuration describing the diffusion process."""
+@struct.dataclass
+class Diffusion:
+    """Tables (pytree leaves) + static configuration (pytree metadata, so
+    a Diffusion can be passed straight through ``jax.jit``)."""
 
     tables: DiffusionTables
-    mean_type: str  # 'eps' | 'xstart' | 'v' | 'prev_x'
-    var_type: str   # 'learned_range' | 'learned' | 'fixed_small' | 'fixed_large'
-    loss_type: str  # 'mse' | 'rescaled_mse' | 'kl' | 'rescaled_kl'
+    mean_type: str = struct.field(pytree_node=False)   # 'eps'|'xstart'|'v'
+    var_type: str = struct.field(pytree_node=False)    # 'learned_range'|...
+    loss_type: str = struct.field(pytree_node=False)   # 'mse'|'rescaled_mse'|...
 
     @property
     def num_timesteps(self) -> int:

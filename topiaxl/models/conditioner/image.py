@@ -1,0 +1,123 @@
+"""Image conditioners.
+
+Parity with the reference conditioning stack
+(models/conditioner/image.py:29-237 and image_dinov2.py:11-61):
+
+* ``DinoV2Wrapper`` — frozen DINOv2 encoder with the exact preprocessing
+  chain (HWC uint8-range -> /255 -> bicubic-antialias resize to the
+  patch grid -> CLIP-stat normalize -> ViT -> [cls | patch] tokens).
+* ``ImageConditioner`` — training-time path: renders the PrimX batch to
+  an image with the raymarcher (fixed frontal camera) then encodes;
+  inference calls ``.encode_image`` directly on a user image.
+* ``DummyImageConditioner`` — passthrough for precomputed conditioning.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.resize import resize_bicubic
+from .dinov2 import DinoViT, dinov2_config
+
+# CLIP normalization stats (reference image_dinov2.py:21)
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class DinoV2Wrapper:
+    """Holds a DinoViT module + params; callable image -> tokens.
+
+    Matches the reference wrapper output: cat(cls, patch_tokens) ->
+    [B, 1 + (518/14)^2, D] = [B, 1370, 768] for vitb14_reg
+    (image_dinov2.py:56-60).
+    """
+
+    def __init__(self, model_name: str = "dinov2_vitb14_reg",
+                 image_size: int = 518, freeze: bool = True,
+                 params=None, dtype=jnp.bfloat16):
+        self.model_name = model_name
+        self.image_size = image_size
+        self.vit = DinoViT(dtype=dtype, **dinov2_config(model_name))
+        self.params = params
+        self._encode = jax.jit(self._encode_fn)
+
+    def init_params(self, key: jax.Array):
+        x = jnp.zeros((1, self.image_size, self.image_size, 3))
+        self.params = self.vit.init(key, x)
+        return self.params
+
+    def _encode_fn(self, params, image: jnp.ndarray) -> jnp.ndarray:
+        """image: [B, H, W, 3] in [0, 255] float (reference convention:
+        image_dinov2.py:44-49)."""
+        x = image.astype(jnp.float32) / 255.0
+        x = resize_bicubic(x, self.image_size, self.image_size)
+        x = (x - _CLIP_MEAN) / _CLIP_STD
+        outs = self.vit.apply(params, x)
+        return jnp.concatenate(
+            [outs["x_norm_clstoken"][:, None, :], outs["x_norm_patchtokens"]],
+            axis=1,
+        )
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        if self.params is None:
+            raise RuntimeError("DinoV2Wrapper params not initialized/loaded")
+        return self._encode(self.params, image)
+
+
+class ImageConditioner:
+    """Render-then-encode conditioner (reference models/conditioner/image.py:54-152).
+
+    At inference only ``encoder`` is used (reference inference.py:317); the
+    training path renders the PrimX payload through the raymarcher with
+    the reference's fixed frontal camera (image.py:122-141).
+    """
+
+    def __init__(self, encoder: DinoV2Wrapper, num_prims: int = 2048,
+                 dim_feat: int = 6, prim_shape: int = 8,
+                 sample_view: bool = False,
+                 image_height: int = 518, image_width: int = 518):
+        self.encoder = encoder
+        self.num_prims = num_prims
+        self.dim_feat = dim_feat
+        self.prim_shape = prim_shape
+        self.sample_view = sample_view
+        self.image_height = image_height
+        self.image_width = image_width
+
+    def encode_image(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(image)
+
+    def condition_from_primx(self, srt, feat, key: Optional[jax.Array] = None,
+                             bg_color: float = 1.0):
+        """Training-time conditioning: raymarch the PrimX asset from the
+        frontal (or sampled-orbit) camera, composite on a white
+        background, encode."""
+        from ...render import frontal_camera, orbit_camera, render_primx
+
+        B = srt.shape[0]
+        if self.sample_view and key is not None:
+            angle = jax.random.uniform(key, (), minval=0.0,
+                                       maxval=2 * np.pi)
+            cam = orbit_camera(angle, self.image_height, self.image_width)
+        else:
+            cam = frontal_camera(self.image_height, self.image_width)
+        rgba = render_primx(srt, feat, cam, prim_shape=self.prim_shape)
+        rgb = rgba[..., :3] + bg_color * (1.0 - rgba[..., 3:4])
+        return self.encoder(rgb * 255.0)
+
+
+class DummyImageConditioner:
+    """Passthrough (reference models/conditioner/image.py:29-51)."""
+
+    def __init__(self, **_):
+        pass
+
+    def encode_image(self, image):
+        return image
+
+    def __call__(self, image):
+        return image

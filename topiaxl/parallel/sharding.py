@@ -1,0 +1,112 @@
+"""Parameter partitioning rules (GSPMD-style).
+
+Rules map flattened parameter paths to ``PartitionSpec``s; ``jax.jit``
+with these as in/out shardings lets XLA insert the all-gathers /
+reduce-scatters (ZeRO) and head/hidden-parallel collectives (TP) over
+ICI. This is the TPU-native replacement for the DDP/NCCL training the
+reference implies but never shipped (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def dit_param_rules(tp_axis: str | None = "tp",
+                    fsdp_axis: str | None = "fsdp"):
+    """(regex, PartitionSpec) rules for DiT parameters.
+
+    TP layout: fused qkv / cross-attn q,k,v kernels split on the OUTPUT
+    (head) dim; attention proj on the INPUT dim; MLP fc1 out-split, fc2
+    in-split — the standard Megatron pairing so each block needs a single
+    reduce per sublayer, compiled by XLA from these annotations.
+    Everything else (LayerNorm-free; adaLN, embedders) is replicated or
+    fsdp-sharded on the largest dim.
+    """
+    tp = tp_axis
+    fs = fsdp_axis
+    rules = [
+        (r"\.qkv\.kernel$",        P(fs, tp)),
+        (r"\.qkv\.bias$",          P(tp)),
+        (r"\.to_[qkv]\.kernel$",   P(fs, tp)),
+        (r"\.to_[qkv]\.bias$",     P(tp)),
+        (r"\.proj\.kernel$",       P(tp, fs)),
+        (r"\.proj\.bias$",         P()),
+        (r"\.fc1\.kernel$",        P(fs, tp)),
+        (r"\.fc1\.bias$",          P(tp)),
+        (r"\.fc2\.kernel$",        P(tp, fs)),
+        (r"\.fc2\.bias$",          P()),
+        (r"adaLN_modulation\.kernel$", P(fs, None)),
+        (r"x_embedder\.kernel$",   P(None, fs)),
+        (r".*", P()),
+    ]
+    return rules
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", getattr(p, "name", None))
+        parts.append(str(key) if key is not None else str(p))
+    return ".".join(parts)
+
+
+def spec_for(path: str, rules) -> P:
+    for pat, spec in rules:
+        if re.search(pat, path):
+            return spec
+    return P()
+
+
+def shard_params(params, mesh: Mesh, rules) -> "jax.Array":
+    """Device-put a param pytree according to the rules. Specs whose axes
+    don't divide a dim evenly fall back to replication on that axis."""
+
+    def place(path, x):
+        spec = spec_for(_path_str(path), rules)
+        spec = _fit_spec(spec, x.shape, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    out = []
+    for i, ax in enumerate(spec):
+        if ax is None or i >= len(shape):
+            out.append(None)
+            continue
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        axes = tuple(a for a in axes if a in mesh.shape)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        if size == 0 or size == 1 or shape[i] % size != 0:
+            out.append(None)
+        else:
+            out.append(axes if len(axes) > 1 else axes[0])
+    return P(*out)
+
+
+def sharding_tree(params, mesh: Mesh, rules):
+    """NamedSharding pytree (for jit in_shardings/out_shardings)."""
+
+    def make(path, x):
+        spec = _fit_spec(spec_for(_path_str(path), rules), x.shape, mesh)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(make, params)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    if axis in mesh.shape:
+        return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P())
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

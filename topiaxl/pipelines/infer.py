@@ -1,0 +1,279 @@
+"""Image -> PrimX -> textured GLB inference pipeline (TPU-native).
+
+Stage 1 (reference inference.py:227-352): conditioner tokens -> one
+jitted DDIM chain (lax.scan; the reference runs 25 host-side steps) ->
+one batched VAE decode of all 2048 primitives (the reference loops per
+sample, inference.py:335-340) -> PrimX parameters.
+
+Stage 2 (reference extract_texmesh, inference.py:86-225): noise filter,
+SDF grid on-device, isosurface + cleanup + decimation on host, UV
+unwrap, texel position bake, on-device PBR queries, EDT inpaint, GLB.
+
+The two stages communicate through PrimXParams saved as .npz — the same
+decoupling the reference gets from denoised.pt (inference.py:351-352).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import Diffusion, gaussian
+from ..models import DiT, VAE3D
+from ..models import primx as primx_lib
+from ..models.primx import PrimXParams
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: denoise + decode
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("dit", "cfg_scale", "keep_trajectory"))
+def sample_tokens(
+    dit: DiT,
+    diffusion: Diffusion,
+    dit_params,
+    y: jnp.ndarray,
+    key: jax.Array,
+    cfg_scale: float = 6.0,
+    keep_trajectory: bool = False,
+):
+    """Run the full DDIM chain; returns normalized tokens [B, N, 68].
+
+    Cross-attn K/V for both CFG branches are projected once, before the
+    scan — every denoise step reuses them.
+    """
+    B = y.shape[0]
+    noise_key, loop_key = jax.random.split(key)
+    noise = jax.random.normal(
+        noise_key, (B, dit.seq_length, dit.in_channels), jnp.float32
+    )
+
+    if cfg_scale > 0:
+        null = dit_params["params"]["null_cond_embedding"]
+        y_null = jnp.broadcast_to(null[None, None, :], y.shape)
+        y_pair = jnp.concatenate([y, y_null], axis=0)
+        kvs = dit.apply(dit_params, y_pair, method=DiT.precompute_kv)
+
+        def model_fn(x, t):
+            return dit.apply(
+                dit_params, x, t, kvs, cfg_scale,
+                method=DiT.forward_with_cfg_kv,
+            )
+    else:
+        kvs = dit.apply(dit_params, y, method=DiT.precompute_kv)
+
+        def model_fn(x, t):
+            return dit.apply(dit_params, x, t, kvs, method=DiT.forward_kv)
+
+    out = gaussian.ddim_sample_loop(
+        diffusion, model_fn, noise, loop_key, clip_denoised=False,
+        keep_trajectory=keep_trajectory,
+    )
+    return out
+
+
+def denormalize_tokens(tokens, latent_mean, latent_std, latent_nf: float = 1.0):
+    """Invert the per-channel token normalization
+    (reference inference.py:329-330)."""
+    return tokens / latent_nf * latent_std[None, None, :] + latent_mean[None, None, :]
+
+
+@partial(jax.jit, static_argnames=("vae", "num_prims", "prim_shape", "dim_feat"))
+def decode_primx(
+    vae: VAE3D,
+    vae_params,
+    recon_tokens: jnp.ndarray,  # [B, N, 4 + L] DE-normalized tokens
+    num_prims: int = 2048,
+    prim_shape: int = 8,
+    dim_feat: int = 6,
+):
+    """Tokens -> PrimX parameters: split srt | latent, batched VAE decode
+    of ALL prims at once, invert the payload normalization
+    (reference inference.py:331-348: sdf /= 5, rest = (x+1)/2).
+
+    Returns PrimXParams with batch folded out (B must be 1) — extraction
+    operates per asset.
+    """
+    B, N, C = recon_tokens.shape
+    srt = recon_tokens[..., 0:4]
+    lat = recon_tokens[..., 4:]
+    ls = round(lat.shape[-1] ** (1.0 / 3.0))
+    z = lat.reshape(B * N, ls, ls, ls, 1)  # channels-last volume
+    payload = vae.apply(vae_params, z, method=VAE3D.decode)
+    # [B*N, S, S, S, C] -> invert norms
+    S = prim_shape
+    sdf = payload[..., 0:1] / 5.0
+    rest = (payload[..., 1:] + 1.0) / 2.0
+    payload = jnp.concatenate([sdf, rest], axis=-1)
+    # to reference channel-major layout [N, C * S^3]
+    feat = payload.reshape(B * N, S**3, dim_feat).transpose(0, 2, 1)
+    feat = feat.reshape(B, N, dim_feat * S**3)
+    return srt[0], feat[0]
+
+
+def generate_primx(
+    dit: DiT,
+    vae: VAE3D,
+    diffusion: Diffusion,
+    dit_params,
+    vae_params,
+    y: jnp.ndarray,
+    key: jax.Array,
+    latent_mean,
+    latent_std,
+    latent_nf: float = 1.0,
+    cfg_scale: float = 6.0,
+    prim_shape: int = 8,
+    dim_feat: int = 6,
+) -> PrimXParams:
+    out = sample_tokens(dit, diffusion, dit_params, y, key, cfg_scale)
+    recon = denormalize_tokens(out.sample, jnp.asarray(latent_mean),
+                               jnp.asarray(latent_std), latent_nf)
+    srt, feat = decode_primx(
+        vae, vae_params, recon,
+        num_prims=dit.seq_length, prim_shape=prim_shape, dim_feat=dim_feat,
+    )
+    return PrimXParams(srt=srt, feat=feat)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: extraction
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def noise_filter(params: PrimXParams) -> PrimXParams:
+    """Neutralize isolated primitives instead of dropping them: prims whose
+    nearest neighbor lies beyond the two prims' combined scales are moved
+    far away with ~zero scale, keeping every shape static (the reference
+    physically filters the arrays, inference.py:89-103, which would force
+    an XLA recompile per asset)."""
+    pos = params.srt[:, 1:4]
+    scale = params.srt[:, 0:1]
+    n = pos.shape[0]
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    d = jnp.sqrt(d2) + jnp.eye(n)
+    min_dist = jnp.min(d, axis=1)
+    nn_idx = jnp.argmin(d, axis=1)
+    coverage = scale[:, 0] + scale[nn_idx, 0]
+    keep = min_dist < coverage
+    srt = jnp.where(
+        keep[:, None],
+        params.srt,
+        jnp.concatenate(
+            [jnp.full((n, 1), 1e-6), jnp.full((n, 3), 1e6)], axis=-1
+        ),
+    )
+    return PrimXParams(srt=srt, feat=params.feat)
+
+
+def sdf_grid(params: PrimXParams, resolution: int = 256,
+             chunk: int = 8192, prim_shape: int = 8, dim_feat: int = 6,
+             top_k: int = 32) -> np.ndarray:
+    """Dense SDF evaluation on a resolution^3 lattice
+    (reference inference.py:107-116), chunked on-device."""
+    lin = np.linspace(-1.0, 1.0, resolution, dtype=np.float32)
+    ii, jj, kk = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = jnp.asarray(np.stack([ii, jj, kk], axis=-1).reshape(-1, 3))
+    out = primx_lib.query_chunked(
+        params, pts, chunk=chunk, dim_feat=dim_feat, prim_shape=prim_shape,
+        top_k=top_k,
+    )
+    return np.asarray(out["sdf"]).reshape(resolution, resolution, resolution)
+
+
+def extract_glb(
+    params: PrimXParams,
+    output_dir: str,
+    mc_resolution: int = 256,
+    decimate: int = 100000,
+    texture_size: int = 1024,
+    batch_size: int = 8192,
+    prim_shape: int = 8,
+    dim_feat: int = 6,
+    fast_unwrap: bool = True,
+    remesh: bool = False,
+    inpaint_pad: int = 32,
+    pos_scale: float = 0.85,
+) -> str:
+    """Full PrimX -> pbr_mesh.glb pipeline (reference inference.py:86-225).
+
+    Returns the GLB path. Also writes texture.jpg / roughness_metallic.jpg
+    like the reference.
+    """
+    import cv2
+
+    from ..extract import (
+        box_projection_uv_unwrap,
+        clean_mesh,
+        compute_vertex_normal,
+        decimate_mesh,
+        extract_isosurface,
+        nearest_inpaint,
+        rasterize_uv_atlas,
+        write_glb,
+    )
+
+    os.makedirs(output_dir, exist_ok=True)
+    srt = params.srt.at[:, 1:4].multiply(pos_scale)  # inference.py:373
+    params = noise_filter(PrimXParams(srt=srt, feat=params.feat))
+
+    grid = sdf_grid(params, mc_resolution, chunk=batch_size,
+                    prim_shape=prim_shape, dim_feat=dim_feat)
+    verts, faces = extract_isosurface(grid)
+    if len(faces) == 0:
+        raise RuntimeError("empty isosurface — nothing to export")
+    verts, faces = clean_mesh(verts, faces, min_f=8, min_d=5)
+    if decimate > 0 and len(faces) > decimate:
+        verts, faces = decimate_mesh(verts, faces, decimate, remesh=remesh)
+
+    vn = compute_vertex_normal(verts, faces)
+    uv, uv_idx = box_projection_uv_unwrap(verts, vn, faces, 0.02)
+
+    uv_corners = uv[uv_idx]                 # [F, 3, 2]
+    pos_corners = verts[faces]              # [F, 3, 3]
+    xyz_map, mask = rasterize_uv_atlas(
+        uv_corners, pos_corners, texture_size, texture_size
+    )
+
+    # on-device PBR queries at covered texels (dense masked — the texel
+    # set is static-size: all texels, zeroed where uncovered)
+    pts = jnp.asarray(xyz_map.reshape(-1, 3))
+    out = primx_lib.query_chunked(
+        params, pts, chunk=batch_size, dim_feat=dim_feat,
+        prim_shape=prim_shape,
+    )
+    tex = np.asarray(out["tex"]).reshape(texture_size, texture_size, 3)
+    mat = np.asarray(out["mat"]).reshape(texture_size, texture_size, 2)
+    feats = np.concatenate(
+        [tex, np.zeros_like(tex[..., :1]), mat], axis=-1
+    )  # [H, W, 6] = R G B 0 rough metal (reference inference.py:191)
+    feats[~mask] = 0.0
+    feats = nearest_inpaint(feats, mask, pad_width=inpaint_pad)
+
+    albedo = feats[..., 0:3]
+    mr = feats[..., 3:6]
+    cv2.imwrite(os.path.join(output_dir, "texture.jpg"),
+                (albedo[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+    cv2.imwrite(os.path.join(output_dir, "roughness_metallic.jpg"),
+                (mr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
+
+    glb_path = os.path.join(output_dir, "pbr_mesh.glb")
+    write_glb(glb_path, verts, faces, uv, uv_idx, albedo, mr)
+    return glb_path
+
+
+def save_primx(path: str, params: PrimXParams) -> None:
+    """Persist stage-1 output (reference torch.save denoised.pt,
+    inference.py:351-352)."""
+    np.savez(path, srt=np.asarray(params.srt), feat=np.asarray(params.feat))
+
+
+def load_primx(path: str) -> PrimXParams:
+    z = np.load(path)
+    return PrimXParams(srt=jnp.asarray(z["srt"]), feat=jnp.asarray(z["feat"]))

@@ -1,0 +1,150 @@
+"""DiT training on a TPU mesh.
+
+The reference never shipped its trainer; its config pins the recipe
+(configs/inference_dit.yml:77-95: AdamW lr 1e-4 wd 0, cosine schedule
+with 3k warmup / 200k iters, bs 8/device, v-prediction MSE [+VB],
+cond-drop 0.1, EMA weights saved under 'ema'). This module implements
+that recipe TPU-natively: one jitted train step over a named mesh, with
+data parallel on ``dp`` and optional ZeRO/TP via parameter sharding
+rules (topiaxl/parallel/sharding.py) — XLA compiles the psum/all-gather
+pattern; there is no NCCL-style process-group code anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion import Diffusion, gaussian
+from ..diffusion.timestep_sampler import (
+    LossSecondMomentState,
+    lsm_sample,
+    lsm_update,
+    uniform_sample,
+)
+
+
+def cosine_warmup_schedule(base_lr: float, warmup_iters: int, max_iters: int):
+    """Linear warmup then cosine decay to 0
+    (reference dva/scheduler.py:4-21 semantics)."""
+
+    def lr(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / jnp.maximum(warmup_iters, 1)
+        prog = (step - warmup_iters) / jnp.maximum(max_iters - warmup_iters, 1)
+        prog = jnp.clip(prog, 0.0, 1.0)
+        cos = base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+        return jnp.where(step < warmup_iters, warm, cos)
+
+    return lr
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    sampler_state: Optional[LossSecondMomentState]
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
+                   warmup_iters: int = 3000, max_iters: int = 200000,
+                   grad_clip: Optional[float] = 1.0):
+    sched = cosine_warmup_schedule(lr, warmup_iters, max_iters)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(sched, weight_decay=weight_decay))
+    return optax.chain(*chain)
+
+
+def create_train_state(params, optimizer,
+                       lsm_timesteps: Optional[int] = None) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        # fresh buffers: EMA must not alias params or jit donation of the
+        # state would see the same buffer twice
+        ema_params=jax.tree.map(lambda a: a + 0, params),
+        sampler_state=(
+            LossSecondMomentState.create(lsm_timesteps)
+            if lsm_timesteps else None
+        ),
+    )
+
+
+def make_train_step(
+    model,
+    diffusion: Diffusion,
+    optimizer,
+    ema_decay: float = 0.9999,
+    timestep_sampler: str = "uniform",
+):
+    """Returns train_step(state, batch, key) -> (state, metrics).
+
+    batch: {'x': [B, N, C] clean latent tokens, 'y': [B, M, Cc] cond tokens}.
+    """
+
+    def loss_fn(params, x, y, t, weights, key):
+        drop_key, noise_key = jax.random.split(key)
+
+        def model_fn(x_t, t_orig):
+            return model.apply(params, x_t, t_orig, y, True, drop_key)
+
+        terms = gaussian.training_losses(
+            diffusion, model_fn, x, t, noise_key
+        )
+        loss = jnp.mean(terms["loss_total"] * weights)
+        return loss, terms
+
+    def train_step(state: TrainState, batch, key):
+        t_key, loss_key = jax.random.split(jax.random.fold_in(key, state.step))
+        B = batch["x"].shape[0]
+        if timestep_sampler == "lsm" and state.sampler_state is not None:
+            t, weights = lsm_sample(state.sampler_state, B, t_key)
+        else:
+            t, weights = uniform_sample(diffusion.num_timesteps, B, t_key)
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch["x"], batch["y"], t, weights, loss_key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, params,
+        )
+        sampler_state = state.sampler_state
+        if timestep_sampler == "lsm" and sampler_state is not None:
+            sampler_state = lsm_update(sampler_state, t, terms["loss_total"])
+
+        metrics = {
+            "loss": loss,
+            "loss_mse": jnp.mean(terms["loss_mse"]),
+            "grad_norm": optax.global_norm(grads),
+        }
+        if "loss_vb" in terms:
+            metrics["loss_vb"] = jnp.mean(terms["loss_vb"])
+        return (
+            TrainState(state.step + 1, params, opt_state, ema, sampler_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def jit_train_step(train_step, donate: bool = False):
+    """Jit a train step. Shardings propagate from the placement of the
+    inputs: put the state with topiaxl.parallel.shard_params (replicated
+    or fsdp/tp rules) and the batch with batch_sharding(mesh, 'dp');
+    XLA/GSPMD then compiles the DP grad psum (and any ZeRO/TP
+    collectives) onto ICI. Donation of the state is opt-in (pass
+    donate=True) — it requires every leaf of the state to be a distinct
+    buffer (XLA constant-caching can alias zero-init optimizer slots)."""
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

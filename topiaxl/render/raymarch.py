@@ -1,0 +1,187 @@
+"""TPU-native volumetric-primitive raymarcher.
+
+Functional replacement for the reference's CUDA raymarch stack
+(dva/mvp/extensions/mvpraymarch/*: warp-synchronous BVH traversal +
+fixed-step march + additive saturating accumulation,
+mvpraymarch_subset_kernel.h:14-101). The CUDA design — divergent
+per-thread BVH walks, shared-memory hit lists, atomics in backward — is
+exactly what a TPU is bad at, so the algorithm is reshaped into dense
+regular stages:
+
+1. **Hit search**: a blocked [rays x K] slab test against all K
+   axis-aligned prims (prim_rot == I on the reference's live path,
+   dva/visualize.py:396) -> per-ray top-``max_hits`` prims ordered by
+   entry distance (the CUDA kernel's insertion-sorted hit list,
+   utils.h:728-845, capped at 512).
+2. **Sampling**: ``num_steps`` jittered-uniform positions across the
+   per-ray hit interval; each (ray, step, hit) triple trilinearly
+   samples its prim payload (ops/grid_sample) with the border fade
+   exp(-fadescale * sum|y|^fadeexp) (primsampler.h:44-51).
+3. **Compositing**: the reference's order-dependent additive clamp
+   (newalpha = a + alpha*dt, contribution min(newalpha,1)-a,
+   primaccum.h:63-79) is an exclusive-cumsum in disguise:
+   contrib_i = min(cumsum_i, 1) - min(cumsum_{i-1}, 1). A cumsum over
+   the step axis reproduces it without any sequential loop — XLA
+   vectorizes the whole render.
+
+Differences vs CUDA (documented): sampling uses a per-ray uniform step
+``(rtmax-rtmin)/num_steps`` instead of a global ``dt/volradius`` step
+(the integral is step-size-normalized, so opacity matches to O(dt));
+samples of different prims at the SAME step are merged before the clamp
+(ordering error bounded by one step's contribution).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import gather_volume_trilinear
+from .camera import Camera
+
+
+def compute_rays(camera: Camera):
+    """Per-pixel origin/direction/t-range (reference
+    utils/utils_kernel.cu:15-55): raydir = normalize(R^T [px, py, 1]),
+    tminmax = ray ∩ [-1,1]^3, tmin clamped to 0."""
+    H, W = camera.height, camera.width
+    xs = (jnp.arange(W, dtype=jnp.float32) - camera.princpt[0]) / camera.focal[0]
+    ys = (jnp.arange(H, dtype=jnp.float32) - camera.princpt[1]) / camera.focal[1]
+    px, py = jnp.meshgrid(xs, ys)  # [H, W]
+    d = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
+    raydir = jnp.einsum("ij,hwi->hwj", camera.camrot, d)
+    raydir = raydir / jnp.linalg.norm(raydir, axis=-1, keepdims=True)
+
+    raypos = jnp.broadcast_to(camera.campos, raydir.shape)
+    safe = jnp.where(jnp.abs(raydir) < 1e-12, 1e-12, raydir)
+    t1 = (-1.0 - raypos) / safe
+    t2 = (1.0 - raypos) / safe
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return raypos, raydir, jnp.stack([jnp.maximum(tmin, 0.0), tmax], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "max_hits"))
+def raymarch(
+    payload: jnp.ndarray,        # [K, S, S, S, 4] rgb+alpha, channels-last
+    prim_pos: jnp.ndarray,       # [K, 3] in normalized volume units
+    prim_scale_inv: jnp.ndarray, # [K] or [K,3]: local = (x-pos)*scale_inv
+    raypos: jnp.ndarray,         # [R, 3]
+    raydir: jnp.ndarray,         # [R, 3]
+    tminmax: jnp.ndarray,        # [R, 2]
+    num_steps: int = 192,
+    max_hits: int = 8,
+    fadescale: float = 8.0,
+    fadeexp: float = 8.0,
+) -> jnp.ndarray:
+    """March a flat chunk of rays. Returns rgba [R, 4] (rgb premultiplied,
+    matching the reference output convention)."""
+    K, S = payload.shape[0], payload.shape[1]
+    if prim_scale_inv.ndim == 1:
+        prim_scale_inv = prim_scale_inv[:, None]
+    extent = 1.0 / prim_scale_inv[:, 0]  # [K] half-extent
+
+    # ---- stage 1: slab test against all prims ---------------------------
+    lo = prim_pos - extent[:, None]
+    hi = prim_pos + extent[:, None]
+    safe = jnp.where(jnp.abs(raydir) < 1e-12, 1e-12, raydir)
+    inv_d = 1.0 / safe                                     # [R, 3]
+    t1 = (lo[None] - raypos[:, None, :]) * inv_d[:, None]  # [R, K, 3]
+    t2 = (hi[None] - raypos[:, None, :]) * inv_d[:, None]
+    tin = jnp.max(jnp.minimum(t1, t2), axis=-1)            # [R, K]
+    tout = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    tmin = tminmax[:, 0:1]
+    tmax = tminmax[:, 1:2]
+    hit = (tout >= jnp.maximum(tin, tmin)) & (tin <= tmax) & (tout >= 0)
+
+    big = jnp.float32(1e10)
+    tin_h = jnp.where(hit, tin, big)
+    tout_h = jnp.where(hit, tout, -big)
+    rtmin = jnp.maximum(jnp.min(tin_h, axis=1), tminmax[:, 0])   # [R]
+    rtmax = jnp.minimum(jnp.max(tout_h, axis=1), tminmax[:, 1])
+    any_hit = jnp.any(hit, axis=1)
+
+    # top-max_hits prims by entry distance (ascending tin)
+    kh = min(max_hits, K)
+    neg_tin, idx = jax.lax.top_k(-tin_h, kh)               # [R, kh]
+    hit_valid = neg_tin > -big                             # was a real hit
+
+    # ---- stage 2: sample along per-ray interval --------------------------
+    span = jnp.maximum(rtmax - rtmin, 0.0)                 # [R]
+    dt = span / num_steps                                  # [R]
+    steps = (jnp.arange(num_steps, dtype=jnp.float32) + 0.5)
+    t = rtmin[:, None] + steps[None, :] * dt[:, None]      # [R, T]
+    pts = raypos[:, None, :] + raydir[:, None, :] * t[..., None]  # [R,T,3]
+
+    pos_k = jnp.take(prim_pos, idx, axis=0)                # [R, kh, 3]
+    sinv_k = jnp.take(prim_scale_inv[:, 0], idx, axis=0)   # [R, kh]
+    y0 = (pts[:, :, None, :] - pos_k[:, None, :, :]) * sinv_k[:, None, :, None]
+    inside = jnp.all(jnp.abs(y0) < 1.0, axis=-1)           # [R, T, kh]
+    inside = inside & hit_valid[:, None, :]
+
+    flat_payload = payload.reshape(K, S * S * S, 4)
+    idx_full = jnp.broadcast_to(idx[:, None, :], y0.shape[:-1])
+    samples = gather_volume_trilinear(flat_payload, idx_full, y0, (S, S, S))
+    fade = jnp.exp(
+        -fadescale * jnp.sum(jnp.abs(y0) ** fadeexp, axis=-1)
+    )
+    alpha = samples[..., 3] * fade * inside                # [R, T, kh]
+    rgb_pre = samples[..., :3] * alpha[..., None]          # premultiplied
+
+    # merge prims within a step (see module docstring)
+    a_step = jnp.sum(alpha, axis=2)                        # [R, T]
+    rgb_step = jnp.sum(rgb_pre, axis=2)                    # [R, T, 3]
+
+    # ---- stage 3: additive clamp compositing via cumsum -------------------
+    dA = a_step * dt[:, None]
+    A = jnp.cumsum(dA, axis=1)
+    contrib = jnp.minimum(A, 1.0) - jnp.minimum(A - dA, 1.0)
+    w = jnp.where(dA > 0, contrib / jnp.maximum(dA, 1e-20), 0.0)
+    rgb = jnp.sum(rgb_step * (dt[:, None] * w)[..., None], axis=1)
+    alpha_out = jnp.minimum(A[:, -1], 1.0)
+
+    rgba = jnp.concatenate([rgb, alpha_out[:, None]], axis=-1)
+    return jnp.where(any_hit[:, None], rgba, 0.0)
+
+
+def render_primx(
+    srt: jnp.ndarray,
+    feat: jnp.ndarray,
+    camera: Camera,
+    prim_shape: int = 8,
+    num_steps: int = 192,
+    max_hits: int = 8,
+    chunk: int = 32768,
+    payload: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Render a PrimX asset -> rgba image [H, W, 4] (rgb in 0..255 scale,
+    like the reference pipeline's payloads, dva/visualize.py:390-391)."""
+    from .visualize import primx_to_payload
+
+    if payload is None:
+        payload = primx_to_payload(srt, feat, prim_shape)
+    pos = srt[:, 1:4]
+    sinv = 1.0 / srt[:, 0]
+
+    raypos, raydir, tmm = compute_rays(camera)
+    H, W = camera.height, camera.width
+    R = H * W
+    rp = raypos.reshape(R, 3)
+    rd = raydir.reshape(R, 3)
+    tm = tmm.reshape(R, 2)
+    pad = (-R) % chunk
+    if pad:
+        rp = jnp.pad(rp, ((0, pad), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+        tm = jnp.pad(tm, ((0, pad), (0, 0)))
+
+    def body(args):
+        return raymarch(payload, pos, sinv, *args,
+                        num_steps=num_steps, max_hits=max_hits)
+
+    out = jax.lax.map(body, (rp.reshape(-1, chunk, 3),
+                             rd.reshape(-1, chunk, 3),
+                             tm.reshape(-1, chunk, 2)))
+    return out.reshape(-1, 4)[:R].reshape(H, W, 4)
