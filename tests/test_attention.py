@@ -1,0 +1,86 @@
+"""Attention ops: XLA path vs torch SDPA, Pallas flash kernel vs XLA path,
+and the bicubic-antialias resize vs torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import pytest
+
+from topiaxl.ops.attention import multi_head_attention
+from topiaxl.ops.flash_attention import flash_attention
+from topiaxl.ops.resize import resize_bicubic
+
+
+def _rand_qkv(rng, B=2, Sq=64, Sk=48, H=4, D=16):
+    q = rng.standard_normal((B, Sq, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, Sk, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, Sk, H, D)).astype(np.float32)
+    return q, k, v
+
+
+def _torch_sdpa(q, k, v, scale):
+    tq = torch.from_numpy(q).permute(0, 2, 1, 3)  # [B,H,S,D]
+    tk = torch.from_numpy(k).permute(0, 2, 1, 3)
+    tv = torch.from_numpy(v).permute(0, 2, 1, 3)
+    out = torch.nn.functional.scaled_dot_product_attention(
+        tq, tk, tv, scale=scale)
+    return out.permute(0, 2, 1, 3).numpy()
+
+
+def test_xla_attention_matches_torch():
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng)
+    for scale in [16**-0.5, 1.0 / 16]:  # self-attn and the double-scaled cross
+        ours = np.asarray(multi_head_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale))
+        ref = _torch_sdpa(q, k, v, scale)
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_flash_attention_matches_xla():
+    rng = np.random.default_rng(1)
+    # odd lengths + head_dim 72 exercise the padding/masking paths
+    q, k, v = _rand_qkv(rng, B=2, Sq=100, Sk=77, H=3, D=72)
+    scale = 72**-0.5
+    ours = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale))
+    ref = np.asarray(multi_head_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_flash_attention_grad_runs():
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, B=1, Sq=32, Sk=32, H=2, D=16)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 0.25) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
+        assert float(jnp.abs(gi).max()) > 0
+
+
+def test_resize_bicubic_matches_torch_downscale():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    ours = np.asarray(resize_bicubic(jnp.asarray(img), 37, 37))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(img).permute(0, 3, 1, 2), size=(37, 37),
+        mode="bicubic", antialias=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_resize_bicubic_matches_torch_upscale():
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (1, 24, 24, 3)).astype(np.float32)
+    ours = np.asarray(resize_bicubic(jnp.asarray(img), 48, 48))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(img).permute(0, 3, 1, 2), size=(48, 48),
+        mode="bicubic", antialias=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-3)

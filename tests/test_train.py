@@ -1,0 +1,159 @@
+"""Training step, schedulers, checkpointing, and sharded execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topiaxl.diffusion import create_diffusion
+from topiaxl.diffusion.timestep_sampler import (
+    LossSecondMomentState, lsm_sample, lsm_update, uniform_sample,
+)
+from topiaxl.models import DiT
+from topiaxl.pipelines.train import (
+    cosine_warmup_schedule,
+    create_train_state,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _tiny_setup(parameterization="v", learn_sigma=True):
+    model = DiT(seq_length=8, in_channels=4, condition_channels=6,
+                hidden_size=16, depth=1, num_heads=2, cond_drop_prob=0.1,
+                learn_sigma=learn_sigma, dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
+        parameterization=parameterization, diffusion_steps=20,
+        learn_sigma=learn_sigma)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 6)))
+    return model, diffusion, params
+
+
+def test_cosine_warmup_schedule():
+    lr = cosine_warmup_schedule(1e-3, warmup_iters=10, max_iters=100)
+    assert float(lr(0)) == 0.0
+    np.testing.assert_allclose(float(lr(5)), 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(lr(10)), 1e-3, rtol=1e-5)
+    assert float(lr(100)) < 1e-9
+    assert float(lr(55)) == pytest.approx(5e-4, rel=1e-3)
+
+
+def test_train_step_decreases_loss():
+    # xstart parameterization + fixed variance + single-timestep chain:
+    # the regression target is the clean batch itself and x_t ~= x0, so a
+    # tiny model on a fixed batch must fit it quickly
+    model = DiT(seq_length=8, in_channels=4, condition_channels=6,
+                hidden_size=16, depth=1, num_heads=2, cond_drop_prob=0.1,
+                learn_sigma=False, dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing=None, noise_schedule="linear",
+        parameterization="xstart", diffusion_steps=1, learn_sigma=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 6)))
+    opt = make_optimizer(lr=1e-2, warmup_iters=1, max_iters=100000)
+    state = create_train_state(params, opt)
+    step = jit_train_step(make_train_step(model, diffusion, opt))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((4, 8, 4)).astype("f")) * 0.5,
+        "y": jnp.asarray(rng.standard_normal((4, 3, 6)).astype("f")),
+    }
+    mse = []
+    for i in range(200):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        mse.append(float(metrics["loss_mse"]))
+    assert int(state.step) == 200
+    assert np.isfinite(mse).all()
+    assert np.mean(mse[-20:]) < 0.5 * np.mean(mse[:10]), (
+        np.mean(mse[:10]), np.mean(mse[-20:]))
+
+
+def test_ema_tracks_params():
+    model, diffusion, params = _tiny_setup()
+    opt = make_optimizer(lr=1e-2, warmup_iters=1, max_iters=100)
+    state = create_train_state(params, opt)
+    step = jit_train_step(make_train_step(model, diffusion, opt,
+                                          ema_decay=0.5))
+    batch = {"x": jnp.ones((2, 8, 4)), "y": jnp.ones((2, 3, 6))}
+    s1, _ = step(state, batch, jax.random.PRNGKey(0))
+    # ema = 0.5 old + 0.5 new
+    p_old = state.params["params"]["x_embedder"]["kernel"]
+    p_new = s1.params["params"]["x_embedder"]["kernel"]
+    e_new = s1.ema_params["params"]["x_embedder"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(e_new), 0.5 * np.asarray(p_old) + 0.5 * np.asarray(p_new),
+        atol=1e-6)
+
+
+def test_sharded_train_step_matches_single_device():
+    """DP over the 8-device CPU mesh == single-device numerics."""
+    from topiaxl.parallel import batch_sharding, make_mesh, shard_params
+
+    model, diffusion, params = _tiny_setup()
+    opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+    train_step = make_train_step(model, diffusion, opt)
+
+    batch = {
+        "x": jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 4)),
+                         jnp.float32),
+        "y": jnp.asarray(np.random.default_rng(1).standard_normal((8, 3, 6)),
+                         jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    state1 = create_train_state(params, opt)
+    s1, m1 = jax.jit(train_step)(state1, batch, key)
+
+    mesh = make_mesh({"dp": 8})
+    from topiaxl.parallel.sharding import replicated
+
+    with mesh:
+        state2 = create_train_state(params, opt)
+        state2 = state2._replace(
+            params=jax.device_put(state2.params, replicated(mesh)),
+            ema_params=jax.device_put(state2.ema_params, replicated(mesh)),
+        )
+        bsh = batch_sharding(mesh, "dp")
+        batch2 = jax.tree.map(lambda a: jax.device_put(a, bsh), batch)
+        s2, m2 = jax.jit(train_step)(state2, batch2, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+
+
+def test_lsm_sampler_state():
+    state = LossSecondMomentState.create(num_timesteps=10, history_per_term=3)
+    t, w = lsm_sample(state, 16, jax.random.PRNGKey(0))
+    assert t.shape == (16,)
+    np.testing.assert_allclose(np.asarray(w), 1.0, atol=1e-5)  # not warmed up
+
+    # feed until warm: after history fills, weights deviate from uniform
+    for i in range(12):
+        ts = jnp.arange(10)
+        losses = jnp.where(ts < 5, 10.0, 0.1)  # early timesteps lossy
+        state = lsm_update(state, ts, losses)
+    assert bool(jnp.all(state.loss_counts == 3))
+    t2, w2 = lsm_sample(state, 4096, jax.random.PRNGKey(1))
+    frac_low = float(jnp.mean((t2 < 5)))
+    assert frac_low > 0.8  # importance-sampled toward lossy timesteps
+    assert (np.asarray(w2) > 0).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from topiaxl.core.checkpoint import restore_checkpoint, save_checkpoint
+
+    model, diffusion, params = _tiny_setup()
+    opt = make_optimizer()
+    state = create_train_state(params, opt)
+    path = str(tmp_path / "ckpt_step0")
+    save_checkpoint(path, state)
+    template = jax.tree.map(np.zeros_like, state)
+    restored = restore_checkpoint(path, template)
+    k0 = params["params"]["x_embedder"]["kernel"]
+    k1 = restored.params["params"]["x_embedder"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    assert int(restored.step) == 0

@@ -1,0 +1,191 @@
+"""Inference CLI: ``python -m topiaxl.cli.infer config.yml [k=v ...]``.
+
+Reference entry point parity (inference.py:227-389): loads the YAML
+config (+ dotlist overrides), builds generator/VAE/conditioner from the
+registry, converts torch checkpoints when given, and runs
+image -> PrimX -> (optional) GLB for every image in the input dir.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("topiaxl.infer")
+
+
+def prepare_image(path: str, foreground_ratio: float = 0.85) -> np.ndarray:
+    """Load, matte, recenter (reference inference.py:33-84, 306-311).
+
+    rembg isn't available in this environment; images with an alpha
+    channel use it as the matte, otherwise near-white background is
+    thresholded as a fallback matte.
+    """
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    if img.shape[-1] == 4:
+        rgba = cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
+    else:
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        bg = (rgb.astype(np.int32).sum(-1) > 3 * 247)
+        alpha = np.where(bg, 0, 255).astype(np.uint8)
+        rgba = np.dstack([rgb, alpha])
+
+    ys, xs = np.nonzero(rgba[..., 3] > 0)
+    if len(ys) == 0:
+        raise ValueError(f"no foreground found in {path}")
+    fg = rgba[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+    size = max(fg.shape[:2])
+    sq = np.zeros((size, size, 4), np.uint8)
+    oy = (size - fg.shape[0]) // 2
+    ox = (size - fg.shape[1]) // 2
+    sq[oy:oy + fg.shape[0], ox:ox + fg.shape[1]] = fg
+    new_size = int(size / foreground_ratio)
+    out = np.zeros((new_size, new_size, 4), np.uint8)
+    o = (new_size - size) // 2
+    out[o:o + size, o:o + size] = sq
+
+    mask = (out[..., 3:4] > 0)
+    rgb = out[..., :3] * mask
+    return rgb.astype(np.float32)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    logging.basicConfig(level=logging.INFO)
+    if not argv:
+        print(__doc__)
+        return 1
+
+    import topiaxl.registry  # noqa: F401  (populate the factory table)
+    from topiaxl.core import build, load_config
+    from topiaxl.core.convert import (
+        convert_dinov2, convert_dit, convert_vae, load_torch_checkpoint,
+    )
+    from topiaxl.diffusion import create_diffusion
+    from topiaxl.models.latent_stats import get_latent_stats
+    from topiaxl.pipelines import infer as P
+    from topiaxl.render.visualize import (
+        visualize_primvolume, visualize_video_primvolume,
+    )
+
+    cfg = load_config(argv[0], overrides=argv[1:])
+    inference_dir = os.path.join(cfg.output_dir, "inference_folder")
+    os.makedirs(inference_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(int(cfg.inference.seed))
+
+    dit = build(cfg.model.generator)
+    vae = build(cfg.model.vae)
+    conditioner = build(cfg.model.conditioner)
+
+    # --- parameters: converted torch checkpoints, or random init ----------
+    def init_dit():
+        x = jnp.zeros((1, dit.seq_length, dit.in_channels))
+        return jax.jit(dit.init)(key, x, jnp.zeros((1,), jnp.int32),
+                                 jnp.zeros((1, 2, dit.condition_channels)))
+
+    if cfg.get("checkpoint_path"):
+        sd = load_torch_checkpoint(cfg.checkpoint_path, key="ema")
+        dit_params = jax.tree.map(jnp.asarray, convert_dit(sd, dit.depth))
+        logger.info("loaded DiT EMA weights from %s", cfg.checkpoint_path)
+    else:
+        logger.warning("no checkpoint_path: DiT runs with random init")
+        dit_params = init_dit()
+
+    if cfg.model.get("vae_checkpoint_path"):
+        sd = load_torch_checkpoint(cfg.model.vae_checkpoint_path,
+                                   key="model_state_dict")
+        vae_params = jax.tree.map(
+            jnp.asarray,
+            convert_vae(sd, tuple(cfg.model.vae.down_channels),
+                        tuple(cfg.model.vae.up_channels)),
+        )
+    else:
+        logger.warning("no vae_checkpoint_path: VAE runs with random init")
+        vae_params = vae.init(key, jnp.zeros((1, 8, 8, 8, 6)), key)
+
+    dv2_ckpt = cfg.model.conditioner.get("encoder_checkpoint_path")
+    if dv2_ckpt:
+        sd = load_torch_checkpoint(dv2_ckpt)
+        conditioner.encoder.params = jax.tree.map(
+            jnp.asarray, convert_dinov2(sd, conditioner.encoder.vit.depth))
+    else:
+        logger.warning("no DINOv2 checkpoint: conditioner runs random init")
+        conditioner.encoder.init_params(key)
+
+    diffusion = create_diffusion(
+        timestep_respacing=(f"ddim{cfg.inference.ddim}"
+                            if cfg.inference.ddim > 0 else None),
+        noise_schedule=cfg.diffusion.noise_schedule,
+        diffusion_steps=cfg.diffusion.diffusion_steps,
+        parameterization=cfg.diffusion.parameterization,
+    )
+
+    stats = cfg.model.get("latent_stats")
+    if stats is not None:
+        latent_mean, latent_std = get_latent_stats(stats)
+    else:
+        latent_mean, latent_std = get_latent_stats(
+            cfg.model.latent_mean, cfg.model.latent_std)
+
+    img_dir = cfg.inference.input_dir
+    img_list = sorted(
+        f for f in os.listdir(img_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+    )
+    logger.info("running inference on %d images", len(img_list))
+
+    for name in img_list:
+        stem = os.path.splitext(name)[0]
+        out_dir = os.path.join(inference_dir, stem)
+        os.makedirs(out_dir, exist_ok=True)
+        image = prepare_image(os.path.join(img_dir, name))
+        y = conditioner.encode_image(jnp.asarray(image[None]))
+
+        key, gen_key = jax.random.split(key)
+        params = P.generate_primx(
+            dit, vae, diffusion, dit_params, vae_params, y, gen_key,
+            latent_mean, latent_std,
+            latent_nf=float(cfg.model.get("latent_nf", 1.0)),
+            cfg_scale=float(cfg.inference.get("cfg", 0.0)),
+            prim_shape=cfg.model.prim_shape, dim_feat=cfg.model.dim_feat,
+        )
+        P.save_primx(os.path.join(out_dir, "denoised.npz"), params)
+
+        recon = jnp.concatenate([params.srt, params.feat], axis=-1)[None]
+        visualize_primvolume(
+            os.path.join(out_dir, "recon.jpg"), recon,
+            cfg.image_height, cfg.image_width, cfg.model.prim_shape)
+        if cfg.get("debug"):
+            visualize_video_primvolume(out_dir, recon, 60,
+                                       cfg.image_height, cfg.image_width)
+        logger.info("stage1 done: %s", stem)
+
+        if cfg.inference.export_glb:
+            glb = P.extract_glb(
+                params, out_dir,
+                mc_resolution=cfg.inference.mc_resolution,
+                decimate=cfg.inference.decimate,
+                batch_size=cfg.inference.batch_size,
+                prim_shape=cfg.model.prim_shape,
+                dim_feat=cfg.model.dim_feat,
+                fast_unwrap=cfg.inference.get("fast_unwrap", True),
+                remesh=cfg.inference.get("remesh", False),
+            )
+            logger.info("stage2 done: %s", glb)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -145,12 +145,14 @@ def build_tables(
     alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
 
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
-    posterior_log_variance_clipped = (
-        np.log(np.append(posterior_variance[1], posterior_variance[1:]))
-        if len(posterior_variance) > 1
-        else np.array([])
-    )
-    fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    if len(posterior_variance) > 1:
+        posterior_log_variance_clipped = np.log(
+            np.append(posterior_variance[1], posterior_variance[1:])
+        )
+        fixed_large_variance = np.append(posterior_variance[1], betas[1:])
+    else:  # single-step chain (the reference leaves these empty/invalid)
+        posterior_log_variance_clipped = np.log(np.maximum(betas, 1e-20))
+        fixed_large_variance = betas.copy()
 
     def j(x):
         return jnp.asarray(np.asarray(x), dtype=dtype)

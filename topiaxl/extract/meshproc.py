@@ -124,6 +124,10 @@ def decimate_mesh(
         try:
             from ..native import qem_decimate
 
+            # hybrid: for very dense inputs, cluster down to ~4x target
+            # first (vectorized, O(n)), then QEM-polish to the budget
+            if len(faces) > 8 * target:
+                verts, faces = _cluster_decimate(verts, faces, 4 * target)
             v, f = qem_decimate(verts, faces, target)
             if len(f) > 0:
                 return v, f

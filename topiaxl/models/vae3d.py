@@ -65,7 +65,7 @@ class ResnetBlock3D(nn.Module):
     def __call__(self, x):
         in_channels = x.shape[-1]
         res = x
-        h = GroupNorm32(min(self.groups, in_channels))(x)
+        h = GroupNorm32(min(self.groups, in_channels), name="norm1")(x)
         h = nn.silu(h)
 
         if self.resample == "up":
@@ -80,7 +80,7 @@ class ResnetBlock3D(nn.Module):
             res, h = down2(res), down2(h)
 
         h = _conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(min(self.groups, self.out_channels))(h)
+        h = GroupNorm32(min(self.groups, self.out_channels), name="norm2")(h)
         h = nn.silu(h)
         h = _conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
 

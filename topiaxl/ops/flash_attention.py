@@ -1,0 +1,137 @@
+"""Fused FlashAttention-style TPU kernel (Pallas).
+
+Replaces xformers ``memory_efficient_attention`` on the DiT hot path
+(reference models/attention.py:54,109). Online-softmax tiling: each
+program owns one (batch, head, q-block) and streams K/V blocks through
+VMEM, keeping running max/denominator — logits never materialize in HBM.
+Tuned for the flagship shapes (self: 2048 x 2048, cross: 2048 x 1370,
+head_dim 72 padded to the 128-lane width).
+
+Numerics: logits and the softmax state are f32 regardless of input
+dtype (like the XLA path in ops/attention.py); output keeps the input
+dtype. Backward falls back to recomputed XLA attention via custom_vjp —
+fine for training at these sequence lengths, while the forward (the
+25-step inference loop) gets the fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                  block_k: int):
+    # refs: q [1, BQ, 1, D], k/v [1, SKp, 1, D], o [1, BQ, 1, D]
+    q = q_ref[0, :, 0, :].astype(jnp.float32)          # [BQ, D]
+    bq, d = q.shape
+    skp = k_ref.shape[1]
+    nk = skp // block_k
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), 0, :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), 0, :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                       # [BQ, BK]
+        col = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        logits = jnp.where(col < kv_len, logits, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)                     # [BQ, BK]
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(q, k, v, scale, block_q=256, block_k=512, interpret=None):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    block_q = min(block_q, max(Sq, 8))
+    block_k = min(block_k, 1 << (Sk - 1).bit_length())
+
+    sq_p = -(-Sq // block_q) * block_q
+    sk_p = -(-Sk // block_k) * block_k
+    d_p = max(128, -(-D // 128) * 128)
+
+    qp = _pad_to(_pad_to(q, sq_p, 1), d_p, 3)
+    kp = _pad_to(_pad_to(k, sk_p, 1), d_p, 3)
+    vp = _pad_to(_pad_to(v, sk_p, 1), d_p, 3)
+
+    grid = (B, H, sq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=Sk,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((B, sq_p, H, d_p), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d_p),
+                         lambda b, h, i: (b, i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, 1, d_p),
+                         lambda b, h, i: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, 1, d_p),
+                         lambda b, h, i: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 1, d_p),
+                               lambda b, h, i: (b, i, h, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Sq, :, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale: float):
+    """q [B,Sq,H,D], k/v [B,Sk,H,D] -> [B,Sq,H,D]."""
+    return _flash_forward(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    # recompute-based backward through the XLA formulation
+    from .attention import _xla_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

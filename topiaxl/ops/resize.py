@@ -32,9 +32,12 @@ def _cubic(x: np.ndarray, a: float = -0.75) -> np.ndarray:
 @lru_cache(maxsize=64)
 def _resize_matrix(in_size: int, out_size: int, antialias: bool = True) -> np.ndarray:
     """[out, in] row-stochastic cubic interpolation matrix
-    (align_corners=False; antialias widens the kernel by the scale
-    factor on downscale, matching torch F.interpolate(..., antialias=True))."""
+    (align_corners=False; antialias widens the kernel by the scale factor
+    on downscale and uses the PIL-style a=-0.5 cubic, matching torch
+    F.interpolate(..., mode='bicubic', antialias=True) bit-for-bit;
+    antialias=False uses torch's plain bicubic a=-0.75)."""
     scale = in_size / out_size
+    a = -0.5 if antialias else -0.75
     support_scale = max(scale, 1.0) if antialias else 1.0
     support = 2.0 * support_scale
     out = np.zeros((out_size, in_size), np.float64)
@@ -43,12 +46,14 @@ def _resize_matrix(in_size: int, out_size: int, antialias: bool = True) -> np.nd
         lo = int(np.floor(center - support))
         hi = int(np.ceil(center + support)) + 1
         idx = np.arange(lo, hi)
-        w = _cubic((idx - center) / support_scale)
-        idx_c = np.clip(idx, 0, in_size - 1)
+        w = _cubic((idx - center) / support_scale, a=a)
+        # torch/PIL drop out-of-range taps and renormalize over the rest
+        inb = (idx >= 0) & (idx < in_size)
+        w = w * inb
         s = w.sum()
         if s != 0:
             w = w / s
-        np.add.at(out[i], idx_c, w)
+        np.add.at(out[i], np.clip(idx, 0, in_size - 1), w)
     return out.astype(np.float32)
 
 

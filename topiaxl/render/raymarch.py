@@ -13,22 +13,25 @@ regular stages:
    dva/visualize.py:396) -> per-ray top-``max_hits`` prims ordered by
    entry distance (the CUDA kernel's insertion-sorted hit list,
    utils.h:728-845, capped at 512).
-2. **Sampling**: ``num_steps`` jittered-uniform positions across the
-   per-ray hit interval; each (ray, step, hit) triple trilinearly
-   samples its prim payload (ops/grid_sample) with the border fade
+2. **Sampling**: ``num_steps`` positions are split evenly across the
+   clipped [t_in, t_out] interval of EACH hit prim (so empty space is
+   never sampled and the effective step inside geometry is ~40x finer
+   than a uniform grid over the whole hit range — the reference needs
+   its dt = 1/volradius = 1e-4 global step for the same reason: the
+   sdf2alpha shell is razor thin). Each sample trilinearly reads its
+   prim payload (ops/grid_sample) with the border fade
    exp(-fadescale * sum|y|^fadeexp) (primsampler.h:44-51).
 3. **Compositing**: the reference's order-dependent additive clamp
    (newalpha = a + alpha*dt, contribution min(newalpha,1)-a,
    primaccum.h:63-79) is an exclusive-cumsum in disguise:
-   contrib_i = min(cumsum_i, 1) - min(cumsum_{i-1}, 1). A cumsum over
-   the step axis reproduces it without any sequential loop — XLA
+   contrib_i = min(cumsum_i, 1) - min(cumsum_{i-1}, 1). Samples are
+   ordered along the ray with one argsort over their t values, then a
+   cumsum reproduces the march without any sequential loop — XLA
    vectorizes the whole render.
 
-Differences vs CUDA (documented): sampling uses a per-ray uniform step
-``(rtmax-rtmin)/num_steps`` instead of a global ``dt/volradius`` step
-(the integral is step-size-normalized, so opacity matches to O(dt));
-samples of different prims at the SAME step are merged before the clamp
-(ordering error bounded by one step's contribution).
+Differences vs CUDA (documented): each sample carries its own
+dt = interval/steps-per-prim instead of the global dt/volradius
+(the accumulation is dt-normalized, so opacity matches to O(dt)).
 """
 
 from __future__ import annotations
@@ -98,51 +101,53 @@ def raymarch(
 
     big = jnp.float32(1e10)
     tin_h = jnp.where(hit, tin, big)
-    tout_h = jnp.where(hit, tout, -big)
-    rtmin = jnp.maximum(jnp.min(tin_h, axis=1), tminmax[:, 0])   # [R]
-    rtmax = jnp.minimum(jnp.max(tout_h, axis=1), tminmax[:, 1])
     any_hit = jnp.any(hit, axis=1)
 
-    # top-max_hits prims by entry distance (ascending tin)
+    # top-max_hits prims by entry distance (ascending tin) — the CUDA
+    # kernel's insertion-sorted hit list
     kh = min(max_hits, K)
     neg_tin, idx = jax.lax.top_k(-tin_h, kh)               # [R, kh]
-    hit_valid = neg_tin > -big                             # was a real hit
+    hit_valid = neg_tin > -big
 
-    # ---- stage 2: sample along per-ray interval --------------------------
-    span = jnp.maximum(rtmax - rtmin, 0.0)                 # [R]
-    dt = span / num_steps                                  # [R]
-    steps = (jnp.arange(num_steps, dtype=jnp.float32) + 0.5)
-    t = rtmin[:, None] + steps[None, :] * dt[:, None]      # [R, T]
-    pts = raypos[:, None, :] + raydir[:, None, :] * t[..., None]  # [R,T,3]
+    # ---- stage 2: per-prim interval sampling ------------------------------
+    sp = max(num_steps // kh, 1)                           # samples per prim
+    tin_k = jnp.maximum(jnp.take_along_axis(tin, idx, axis=1), tmin)
+    tout_k = jnp.minimum(jnp.take_along_axis(tout, idx, axis=1), tmax)
+    seg = jnp.maximum(tout_k - tin_k, 0.0) * hit_valid     # [R, kh]
+    dt_k = seg / sp                                        # per-sample dt
+    offs = (jnp.arange(sp, dtype=jnp.float32) + 0.5) / sp
+    t = tin_k[..., None] + seg[..., None] * offs           # [R, kh, sp]
+    pts = raypos[:, None, None, :] + raydir[:, None, None, :] * t[..., None]
 
     pos_k = jnp.take(prim_pos, idx, axis=0)                # [R, kh, 3]
     sinv_k = jnp.take(prim_scale_inv[:, 0], idx, axis=0)   # [R, kh]
-    y0 = (pts[:, :, None, :] - pos_k[:, None, :, :]) * sinv_k[:, None, :, None]
-    inside = jnp.all(jnp.abs(y0) < 1.0, axis=-1)           # [R, T, kh]
-    inside = inside & hit_valid[:, None, :]
+    y0 = (pts - pos_k[:, :, None, :]) * sinv_k[:, :, None, None]
+    inside = jnp.all(jnp.abs(y0) < 1.0, axis=-1)           # [R, kh, sp]
+    inside = inside & hit_valid[..., None]
 
     flat_payload = payload.reshape(K, S * S * S, 4)
-    idx_full = jnp.broadcast_to(idx[:, None, :], y0.shape[:-1])
+    idx_full = jnp.broadcast_to(idx[:, :, None], y0.shape[:-1])
     samples = gather_volume_trilinear(flat_payload, idx_full, y0, (S, S, S))
-    fade = jnp.exp(
-        -fadescale * jnp.sum(jnp.abs(y0) ** fadeexp, axis=-1)
-    )
-    alpha = samples[..., 3] * fade * inside                # [R, T, kh]
-    rgb_pre = samples[..., :3] * alpha[..., None]          # premultiplied
+    fade = jnp.exp(-fadescale * jnp.sum(jnp.abs(y0) ** fadeexp, axis=-1))
+    alpha = samples[..., 3] * fade * inside                # [R, kh, sp]
+    dA = alpha * dt_k[..., None]                           # [R, kh, sp]
+    rgb = samples[..., :3]
 
-    # merge prims within a step (see module docstring)
-    a_step = jnp.sum(alpha, axis=2)                        # [R, T]
-    rgb_step = jnp.sum(rgb_pre, axis=2)                    # [R, T, 3]
+    # ---- stage 3: global t-ordering + cumsum clamp -------------------------
+    R = raypos.shape[0]
+    t_flat = t.reshape(R, kh * sp)
+    t_flat = jnp.where(dA.reshape(R, -1) > 0, t_flat, big)  # park empty samples
+    order = jnp.argsort(t_flat, axis=1)
+    dA_s = jnp.take_along_axis(dA.reshape(R, -1), order, axis=1)
+    rgb_s = jnp.take_along_axis(
+        rgb.reshape(R, -1, 3), order[..., None], axis=1)
 
-    # ---- stage 3: additive clamp compositing via cumsum -------------------
-    dA = a_step * dt[:, None]
-    A = jnp.cumsum(dA, axis=1)
-    contrib = jnp.minimum(A, 1.0) - jnp.minimum(A - dA, 1.0)
-    w = jnp.where(dA > 0, contrib / jnp.maximum(dA, 1e-20), 0.0)
-    rgb = jnp.sum(rgb_step * (dt[:, None] * w)[..., None], axis=1)
+    A = jnp.cumsum(dA_s, axis=1)
+    contrib = jnp.minimum(A, 1.0) - jnp.minimum(A - dA_s, 1.0)
+    rgb_out = jnp.sum(rgb_s * contrib[..., None], axis=1)
     alpha_out = jnp.minimum(A[:, -1], 1.0)
 
-    rgba = jnp.concatenate([rgb, alpha_out[:, None]], axis=-1)
+    rgba = jnp.concatenate([rgb_out, alpha_out[:, None]], axis=-1)
     return jnp.where(any_hit[:, None], rgba, 0.0)
 
 
