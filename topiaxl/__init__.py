@@ -11,3 +11,15 @@ the reference's CUDA kernels.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: first-compile of the flagship graphs
+# through the remote-compile path costs minutes; caching makes every
+# subsequent process start warm. Opt out with TOPIAXL_COMPILATION_CACHE=0.
+if _os.environ.get("TOPIAXL_COMPILATION_CACHE", "1") != "0":
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/topiaxl_jax"),
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")

@@ -110,6 +110,27 @@ class ImageConditioner:
         return self.encoder(rgb * 255.0)
 
 
+class ImageMultiViewConditioner(ImageConditioner):
+    """Concatenate conditioning tokens from V orbit views
+    (reference models/conditioner/image.py:155-237)."""
+
+    def __init__(self, *args, view_counts: int = 4, **kw):
+        super().__init__(*args, **kw)
+        self.view_counts = view_counts
+
+    def condition_from_primx(self, srt, feat, key=None, bg_color: float = 1.0):
+        from ...render import orbit_camera, render_primx
+
+        tokens = []
+        for vi in range(self.view_counts):
+            angle = 2 * np.pi * vi / self.view_counts
+            cam = orbit_camera(angle, self.image_height, self.image_width)
+            rgba = render_primx(srt, feat, cam, prim_shape=self.prim_shape)
+            rgb = rgba[..., :3] + bg_color * 255.0 * (1.0 - rgba[..., 3:4] / 255.0)
+            tokens.append(self.encoder(rgb[None]))
+        return jnp.concatenate(tokens, axis=1)
+
+
 class DummyImageConditioner:
     """Passthrough (reference models/conditioner/image.py:29-51)."""
 

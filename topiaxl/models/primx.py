@@ -74,7 +74,8 @@ def sdf2alpha(sdf: jnp.ndarray, var: float = 0.005) -> jnp.ndarray:
     return jnp.exp(-((sdf / var) ** 2))
 
 
-@partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k", "training"))
+@partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k",
+                                   "training", "with_fallback"))
 def query(
     params: PrimXParams,
     x: jnp.ndarray,
@@ -82,6 +83,7 @@ def query(
     prim_shape: int = 8,
     top_k: int = 32,
     training: bool = False,
+    with_fallback: bool = True,
 ):
     """Evaluate the field at points x [P, 3] -> dict(sdf [P,1], tex [P,3],
     mat [P,2], feat [P,C]) (reference models/primsdf.py:52-102).
@@ -112,7 +114,7 @@ def query(
     wn = jnp.where(w_top > 0, w_top, 0.0) / (wsum + 1e-6)
     feat = jnp.sum(sampled * wn[..., None], axis=1)  # [P, C]
 
-    if not training:
+    if not training and with_fallback:
         # uncovered-point SDF fallback (models/primsdf.py:82-101)
         covered = (wsum[:, 0] > 0)
         dist = jnp.linalg.norm(x[:, None, :] - pos[None, :, :], axis=-1)
@@ -142,17 +144,26 @@ def query(
 def query_chunked(
     params: PrimXParams,
     pts: jnp.ndarray,
-    chunk: int = 8192,
+    chunk: int = 32768,
     **kw,
 ):
-    """Field query over a large point set via lax.map over fixed chunks
-    (replaces the host-side chunk loop, reference inference.py:110-116)."""
+    """Field query over a large point set in fixed-size chunks (replaces
+    the host-side chunk loop, reference inference.py:110-116).
+
+    Dispatches one jitted ``query`` per chunk from Python: the calls
+    queue asynchronously on the device (measured substantially faster
+    than a single lax.map program, which XLA serializes poorly here).
+    """
     P = pts.shape[0]
     pad = (-P) % chunk
     pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
     batches = pts_p.reshape(-1, chunk, 3)
-    out = jax.lax.map(lambda p: query(params, p, **kw), batches)
-    return {k: v.reshape(-1, v.shape[-1])[:P] for k, v in out.items()}
+    outs = [query(params, batches[i], **kw) for i in range(batches.shape[0])]
+    cat = {
+        k: jnp.concatenate([o[k] for o in outs], axis=0)[:P]
+        for k in outs[0]
+    }
+    return cat
 
 
 class PrimX(NamedTuple):

@@ -105,15 +105,17 @@ def synthetic_batches(batch_size: int, seq: int = 2048, ch: int = 68,
 
 def encode_assets(vae, vae_params, srt: np.ndarray, payload: np.ndarray,
                   latent_mean, latent_std, latent_nf: float = 1.0,
-                  key: Optional[jax.Array] = None) -> np.ndarray:
+                  key: Optional[jax.Array] = None,
+                  dim_feat: int = 6) -> np.ndarray:
     """PrimX params -> normalized DiT tokens [N, 4 + L] (the inverse of
     pipelines/infer.decode_primx; payload normalization follows the
     reference: sdf*5, others*2-1 before encoding)."""
     from ..models.vae3d import VAE3D
 
     N = srt.shape[0]
-    S = round(payload.shape[-1] ** (1 / 3)) if payload.ndim == 2 else payload.shape[1]
-    vol = payload.reshape(N, 6, S, S, S).transpose(0, 2, 3, 4, 1)
+    S = (round((payload.shape[-1] // dim_feat) ** (1 / 3))
+         if payload.ndim == 2 else payload.shape[1])
+    vol = payload.reshape(N, dim_feat, S, S, S).transpose(0, 2, 3, 4, 1)
     vol = np.concatenate([vol[..., :1] * 5.0, vol[..., 1:] * 2.0 - 1.0], -1)
     posterior = vae.apply(vae_params, jnp.asarray(vol), method=VAE3D.encode)
     z = posterior.mode() if key is None else posterior.sample(key)
