@@ -36,23 +36,17 @@ def _drop_bad_faces(faces: np.ndarray):
 
 
 def _face_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
-    """Connected components over shared vertices (union-find)."""
-    parent = np.arange(num_verts, dtype=np.int64)
+    """Connected components over shared vertices (vectorized sparse
+    graph pass — a Python union-find loop is minutes at 1M faces)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
-
-    for f in faces:
-        ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
-        parent[rb] = ra
-        parent[find(rc)] = ra
-    roots = np.array([find(v) for v in faces[:, 0]])
-    return roots
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    data = np.ones(len(rows), np.int8)
+    g = coo_matrix((data, (rows, cols)), shape=(num_verts, num_verts))
+    _, labels = connected_components(g, directed=False)
+    return labels[faces[:, 0]]
 
 
 def _compact(verts: np.ndarray, faces: np.ndarray):

@@ -42,22 +42,17 @@ _AXES_UV = {
 
 
 def _face_islands(faces: np.ndarray, num_verts: int) -> np.ndarray:
-    """Label faces by vertex-connected component (within one bin)."""
-    parent = np.arange(num_verts, dtype=np.int64)
+    """Label faces by vertex-connected component (within one bin),
+    vectorized via scipy's sparse connected components."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
-
-    for tri in faces:
-        r0 = find(tri[0])
-        parent[find(tri[1])] = r0
-        parent[find(tri[2])] = r0
-    return np.array([find(t) for t in faces[:, 0]], dtype=np.int64)
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    g = coo_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                   shape=(num_verts, num_verts))
+    _, labels = connected_components(g, directed=False)
+    return labels[faces[:, 0]].astype(np.int64)
 
 
 def box_projection_uv_unwrap(

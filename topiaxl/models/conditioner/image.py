@@ -142,3 +142,36 @@ class DummyImageConditioner:
 
     def __call__(self, image):
         return image
+
+
+class CLIPImageEncoder:
+    """CLIP image tower -> [B, 1, D] pooled tokens (reference
+    models/conditioner/image.py:239-264 CLIPImageEncoder, and :266-290's
+    token variant via ``tokens=True``). open_clip isn't available here;
+    uses a transformers CLIPVisionModel when local weights are supplied
+    (zero-egress sandbox: no hub downloads)."""
+
+    def __init__(self, model_name_or_path: str | None = None,
+                 tokens: bool = False):
+        self.tokens = tokens
+        self._model = None
+        if model_name_or_path:
+            from transformers import CLIPVisionModel
+
+            self._model = CLIPVisionModel.from_pretrained(model_name_or_path)
+
+    def __call__(self, images):
+        if self._model is None:
+            raise RuntimeError(
+                "CLIPImageEncoder needs local CLIP weights "
+                "(model_name_or_path); the released 3DTopia-XL pipeline "
+                "conditions on DINOv2 instead (DinoV2Wrapper)."
+            )
+        import torch
+
+        px = torch.from_numpy(np.asarray(images, np.float32)).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            out = self._model(pixel_values=px)
+        if self.tokens:
+            return out.last_hidden_state.numpy()
+        return out.pooler_output[:, None, :].numpy()

@@ -180,6 +180,15 @@ extern "C" int qem_decimate(
     }
   }
 
+  // reusable per-collapse buffers (allocation in the hot loop dominates
+  // otherwise)
+  std::vector<int> merged;
+  merged.reserve(64);
+  std::vector<int> neighbors;
+  neighbors.reserve(64);
+  std::vector<uint32_t> nb_mark(nv, 0);
+  uint32_t collapse_id = 0;
+
   while (alive > target_faces && !heap.empty()) {
     Candidate c = heap.top(); heap.pop();
     int a = root(c.v0), b = root(c.v1);
@@ -220,9 +229,9 @@ extern "C" int qem_decimate(
     ++stamp[a]; ++stamp[b];
 
     // merge face lists; kill degenerate faces; collect neighbor verts
-    std::vector<int> merged;
-    merged.reserve(vfaces[a].size() + vfaces[b].size());
-    std::unordered_set<int> neighbors;
+    ++collapse_id;
+    merged.clear();
+    neighbors.clear();
     for (int v : {a, b}) {
       for (int f : vfaces[v]) {
         if (!face_alive[f]) continue;
@@ -232,13 +241,19 @@ extern "C" int qem_decimate(
           continue;
         }
         merged.push_back(f);
-        for (int iv : {i0, i1, i2}) if (iv != a) neighbors.insert(iv);
+        for (int iv : {i0, i1, i2}) {
+          if (iv != a && nb_mark[iv] != collapse_id) {
+            nb_mark[iv] = collapse_id;
+            neighbors.push_back(iv);
+          }
+        }
       }
     }
     std::sort(merged.begin(), merged.end());
     merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
-    vfaces[a] = std::move(merged);
+    vfaces[a].assign(merged.begin(), merged.end());
     vfaces[b].clear();
+    vfaces[b].shrink_to_fit();
 
     for (int nb : neighbors) push_edge(a, nb);
   }

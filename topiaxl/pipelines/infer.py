@@ -254,6 +254,9 @@ def extract_glb(
     Returns the GLB path. Also writes texture.jpg / roughness_metallic.jpg
     like the reference.
     """
+    import logging
+    import time
+
     import cv2
 
     from ..extract import (
@@ -267,6 +270,15 @@ def extract_glb(
         write_glb,
     )
 
+    log = logging.getLogger("topiaxl.extract")
+    t_last = time.perf_counter()
+
+    def tick(stage):
+        nonlocal t_last
+        now = time.perf_counter()
+        log.info("%s: %.2fs", stage, now - t_last)
+        t_last = now
+
     os.makedirs(output_dir, exist_ok=True)
     srt = params.srt.at[:, 1:4].multiply(pos_scale)  # inference.py:373
     params = noise_filter(PrimXParams(srt=srt, feat=params.feat))
@@ -275,21 +287,27 @@ def extract_glb(
     # larger dispatches
     grid = sdf_grid(params, mc_resolution, chunk=max(batch_size, 32768),
                     prim_shape=prim_shape, dim_feat=dim_feat)
+    tick("sdf_grid")
     verts, faces = extract_isosurface(grid)
+    tick(f"isosurface ({len(faces)} faces)")
     if len(faces) == 0:
         raise RuntimeError("empty isosurface — nothing to export")
     verts, faces = clean_mesh(verts, faces, min_f=8, min_d=5)
+    tick("clean_mesh")
     if decimate > 0 and len(faces) > decimate:
         verts, faces = decimate_mesh(verts, faces, decimate, remesh=remesh)
+    tick(f"decimate ({len(faces)} faces)")
 
     vn = compute_vertex_normal(verts, faces)
     uv, uv_idx = box_projection_uv_unwrap(verts, vn, faces, 0.02)
+    tick("uv_unwrap")
 
     uv_corners = uv[uv_idx]                 # [F, 3, 2]
     pos_corners = verts[faces]              # [F, 3, 3]
     xyz_map, mask = rasterize_uv_atlas(
         uv_corners, pos_corners, texture_size, texture_size
     )
+    tick("rasterize")
 
     # on-device PBR queries at covered texels only (surface points are
     # always prim-covered, so the uncovered-SDF fallback is skipped)
@@ -311,7 +329,9 @@ def extract_glb(
         [tex, np.zeros_like(tex[..., :1]), mat], axis=-1
     )  # [H, W, 6] = R G B 0 rough metal (reference inference.py:191)
     feats[~mask] = 0.0
+    tick("bake_queries")
     feats = nearest_inpaint(feats, mask, pad_width=inpaint_pad)
+    tick("inpaint")
 
     albedo = feats[..., 0:3]
     mr = feats[..., 3:6]
@@ -322,6 +342,7 @@ def extract_glb(
 
     glb_path = os.path.join(output_dir, "pbr_mesh.glb")
     write_glb(glb_path, verts, faces, uv, uv_idx, albedo, mr)
+    tick("write_glb")
     return glb_path
 
 

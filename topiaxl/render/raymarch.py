@@ -45,6 +45,27 @@ from ..ops.grid_sample import gather_volume_trilinear
 from .camera import Camera
 
 
+def subsample_rays(camera: Camera, factor: int, key=None):
+    """Ray subsampling for training-time rendering (reference
+    dva/ray_marcher.py:33-73): every ``factor``-th pixel, with a random
+    phase when ``key`` is given (training) or the centered phase (eval).
+    Returns (raypos, raydir, tminmax) on the subsampled [H/f, W/f] grid.
+    """
+    import jax.random as jrandom
+
+    raypos, raydir, tmm = compute_rays(camera)
+    if factor <= 1:
+        return raypos, raydir, tmm
+    if key is not None:
+        off = jrandom.randint(key, (2,), 0, factor - 1)
+        y0, x0 = int(off[0]), int(off[1])
+    else:
+        y0 = x0 = factor // 2
+    sl = (slice(y0, y0 + factor * (camera.height // factor), factor),
+          slice(x0, x0 + factor * (camera.width // factor), factor))
+    return raypos[sl], raydir[sl], tmm[sl]
+
+
 def compute_rays(camera: Camera):
     """Per-pixel origin/direction/t-range (reference
     utils/utils_kernel.cu:15-55): raydir = normalize(R^T [px, py, 1]),

@@ -114,6 +114,33 @@ def visualize_video_primvolume(out_dir: str, recon_param, view_counts: int = 60,
     _write_video(os.path.join(out_dir, "prim.mp4"), box_frames, fps)
 
 
+def visualize_multiview_primvolume(path: str, recon_param, views: int = 4,
+                                   height: int = 518, width: int = 518,
+                                   prim_shape: int | None = None,
+                                   num_steps: int = 128,
+                                   max_hits: int = 8) -> None:
+    """Grid of V orbit views, rgb row over colored-box row
+    (reference dva/visualize.py:296-367)."""
+    import cv2
+
+    rp = jnp.asarray(recon_param)[0]
+    srt = rp[:, :4]
+    feat = rp[:, 4:]
+    if prim_shape is None:
+        prim_shape = int(round(((rp.shape[1] - 4) / 6) ** (1 / 3)))
+    rgb_row, box_row = [], []
+    for vi in range(views):
+        cam = orbit_camera(2 * np.pi * vi / views, height, width)
+        rgb, boxes = _render_pair(srt, feat, cam, prim_shape, num_steps,
+                                  max_hits)
+        rgb_row.append(rgb[..., :3])
+        box_row.append(boxes[..., :3])
+    img = np.concatenate(
+        [np.concatenate(rgb_row, axis=1), np.concatenate(box_row, axis=1)],
+        axis=0)
+    cv2.imwrite(path, np.clip(img[..., ::-1], 0, 255).astype(np.uint8))
+
+
 def _write_video(path: str, frames, fps: int) -> None:
     try:
         import imageio
