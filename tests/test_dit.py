@@ -113,6 +113,29 @@ def test_cond_actually_conditions():
     assert float(jnp.abs(o1 - o2).max()) > 1e-6
 
 
+def test_additive_pos_emb_variant():
+    from topiaxl.models.dit import DiTAdditivePosEmb, PointEmbed
+
+    model = DiTAdditivePosEmb(
+        seq_length=16, in_channels=8, condition_channels=12,
+        hidden_size=36, depth=1, num_heads=4, cond_drop_prob=0.1,
+        dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8))
+    t = jnp.array([1, 2])
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 12))
+    params = model.init(jax.random.PRNGKey(2), x, t, y)
+    out = model.apply(params, x, t, y)
+    assert out.shape == (2, 16, 16)
+    # zero-init final => zero output, same as base DiT
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    pe = PointEmbed(hidden_dim=48, dim=36)
+    pts = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 3))
+    pp = pe.init(jax.random.PRNGKey(4), pts)
+    emb = pe.apply(pp, pts)
+    assert emb.shape == (2, 16, 36)
+
+
 def test_timestep_embedding_matches_reference_formula():
     from topiaxl.models.layers import timestep_embedding
 

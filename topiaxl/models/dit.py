@@ -117,6 +117,29 @@ class FinalLayer(nn.Module):
         return self.linear(x)
 
 
+class PointEmbed(nn.Module):
+    """Fourier positional embedding of prim centers
+    (reference models/dit_crossattn.py:80-109): per-axis power-of-2
+    frequencies x pi, sin|cos features + raw xyz -> Linear."""
+
+    hidden_dim: int = 48
+    dim: int = 128
+
+    @nn.compact
+    def __call__(self, pts: jnp.ndarray) -> jnp.ndarray:
+        assert self.hidden_dim % 6 == 0
+        e = 2.0 ** jnp.arange(self.hidden_dim // 6, dtype=jnp.float32) * jnp.pi
+        zeros = jnp.zeros_like(e)
+        basis = jnp.stack([
+            jnp.concatenate([e, zeros, zeros]),
+            jnp.concatenate([zeros, e, zeros]),
+            jnp.concatenate([zeros, zeros, e]),
+        ])  # [3, hidden_dim/2]
+        proj = jnp.einsum("bnd,de->bne", pts, basis)
+        emb = jnp.concatenate([jnp.sin(proj), jnp.cos(proj), pts], axis=-1)
+        return nn.Dense(self.dim, name="mlp")(emb)
+
+
 class DiT(nn.Module):
     """Flagship generator (reference models/dit_crossattn.py:111-213)."""
 
@@ -240,3 +263,21 @@ class DiT(nn.Module):
         out = self.forward_kv(combined, combined_t, kvs_pair)
         cond, uncond = jnp.split(out, 2, axis=0)
         return uncond + cfg_scale * (cond - uncond)
+
+
+class DiTAdditivePosEmb(DiT):
+    """DiT variant adding a Fourier point embedding of the prim centers
+    (token channels 1:4) to the token embedding
+    (reference models/dit_crossattn.py:215-301)."""
+
+    def setup(self):
+        super().setup()
+        self.point_emb = PointEmbed(hidden_dim=48, dim=self.hidden_size)
+
+    def forward_kv(self, x, t, kvs):
+        pts = x[:, :, 1:4].astype(jnp.float32)
+        h = self.x_embedder(x.astype(jnp.float32)) + self.point_emb(pts)
+        t_emb = self.t_embedder(t)
+        for blk, kv in zip(self.blocks, kvs):
+            h = blk(h, kv, t_emb)
+        return self.final_layer(h, t_emb)
