@@ -6,7 +6,11 @@ self-attention (2x2048x2048, 16 heads, d=72) and cross-attention
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

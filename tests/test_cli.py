@@ -1,0 +1,130 @@
+"""CLI end-to-end smoke test on a tiny config (CPU): image file ->
+conditioner -> DDIM -> VAE decode -> denoised.npz + recon.jpg + GLB."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_infer_tiny_e2e(tmp_path):
+    import cv2
+
+    # a tiny white blob on dark background as the input image
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.circle(img, (32, 32), 20, (200, 180, 160), -1)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    cv2.imwrite(str(img_dir / "blob.png"), img)
+
+    cfg = tmp_path / "tiny.yml"
+    cfg.write_text(textwrap.dedent(f"""
+        debug: false
+        root_data_dir: {tmp_path}/runs
+        checkpoint_path: null
+        global_seed: 0
+        inference:
+          input_dir: {img_dir}
+          ddim: 3
+          cfg: 2.0
+          seed: 0
+          export_glb: true
+          fast_unwrap: true
+          decimate: 3000
+          mc_resolution: 32
+          batch_size: 4096
+          remesh: false
+        image_height: 28
+        image_width: 28
+        model:
+          class_name: topiaxl.PrimX
+          num_prims: 16
+          dim_feat: 6
+          prim_shape: 8
+          init_scale: 0.05
+          sdf2alpha_var: 0.005
+          auto_scale_init: true
+          init_sampling: uniform
+          vae:
+            class_name: topiaxl.VAE3D
+            in_channels: 6
+            latent_channels: 1
+            out_channels: 6
+            down_channels: [8, 16]
+            mid_attention: true
+            up_channels: [16, 8]
+            layers_per_block: 1
+            dtype: fp32
+          vae_checkpoint_path: null
+          conditioner:
+            class_name: topiaxl.ImageConditioner
+            num_prims: 16
+            dim_feat: 6
+            prim_shape: 8
+            sample_view: false
+            encoder_config:
+              class_name: topiaxl.DinoV2Wrapper
+              model_name: dinov2_tiny_test
+              freeze: true
+          generator:
+            class_name: topiaxl.DiT
+            seq_length: 16
+            in_channels: 68
+            condition_channels: 32
+            hidden_size: 32
+            depth: 1
+            num_heads: 4
+            attn_proj_bias: true
+            cond_drop_prob: 0.1
+            dtype: fp32
+          latent_nf: 1.0
+          latent_stats: primx_v1
+        diffusion:
+          timestep_respacing: null
+          noise_schedule: squaredcos_cap_v2
+          diffusion_steps: 50
+          parameterization: v
+        rm: {{ volradius: 10000.0, dt: 1.0 }}
+        tag: tiny
+        output_dir: {tmp_path}/runs/tiny
+    """))
+
+    from topiaxl.cli.infer import main
+
+    rc = main([str(cfg)])
+    # random weights may legitimately produce an empty isosurface; the
+    # stage-1 artifacts must exist regardless
+    out_dir = tmp_path / "runs" / "tiny" / "inference_folder" / "blob"
+    assert os.path.exists(out_dir / "denoised.npz")
+    assert os.path.exists(out_dir / "recon.jpg")
+    if rc == 0 and os.path.exists(out_dir / "pbr_mesh.glb"):
+        from topiaxl.extract.glb import read_glb
+
+        gltf, _ = read_glb(str(out_dir / "pbr_mesh.glb"))
+        assert gltf["asset"]["version"] == "2.0"
+
+
+def test_prepare_image_variants(tmp_path):
+    import cv2
+
+    from topiaxl.cli.infer import prepare_image
+
+    # RGBA with alpha matte
+    rgba = np.zeros((40, 40, 4), np.uint8)
+    rgba[10:30, 15:25] = [255, 0, 0, 255]
+    p = str(tmp_path / "a.png")
+    cv2.imwrite(p, cv2.cvtColor(rgba, cv2.COLOR_RGBA2BGRA))
+    out = prepare_image(p, foreground_ratio=0.85)
+    assert out.ndim == 3 and out.shape[2] == 3
+    assert out.shape[0] == out.shape[1]  # square
+    assert out.max() > 0
+
+    # RGB on white background -> threshold matte
+    rgb = np.full((40, 40, 3), 255, np.uint8)
+    rgb[5:20, 5:20] = [10, 200, 30]
+    p2 = str(tmp_path / "b.png")
+    cv2.imwrite(p2, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    out2 = prepare_image(p2)
+    assert out2.max() > 0

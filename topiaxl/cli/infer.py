@@ -173,17 +173,22 @@ def main(argv=None):
         logger.info("stage1 done: %s", stem)
 
         if cfg.inference.export_glb:
-            glb = P.extract_glb(
-                params, out_dir,
-                mc_resolution=cfg.inference.mc_resolution,
-                decimate=cfg.inference.decimate,
-                batch_size=cfg.inference.batch_size,
-                prim_shape=cfg.model.prim_shape,
-                dim_feat=cfg.model.dim_feat,
-                fast_unwrap=cfg.inference.get("fast_unwrap", True),
-                remesh=cfg.inference.get("remesh", False),
-            )
-            logger.info("stage2 done: %s", glb)
+            try:
+                glb = P.extract_glb(
+                    params, out_dir,
+                    mc_resolution=cfg.inference.mc_resolution,
+                    decimate=cfg.inference.decimate,
+                    batch_size=cfg.inference.batch_size,
+                    prim_shape=cfg.model.prim_shape,
+                    dim_feat=cfg.model.dim_feat,
+                    fast_unwrap=cfg.inference.get("fast_unwrap", True),
+                    remesh=cfg.inference.get("remesh", False),
+                )
+                logger.info("stage2 done: %s", glb)
+            except RuntimeError as e:
+                # e.g. empty isosurface from an untrained model — stage-1
+                # artifacts are already persisted
+                logger.error("stage2 failed for %s: %s", stem, e)
     return 0
 
 

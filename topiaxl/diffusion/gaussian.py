@@ -409,3 +409,59 @@ def training_losses(
     terms["loss_mse"] = mean_flat((target - model_output) ** 2)
     terms["loss_total"] = terms["loss_mse"] + terms.get("loss_vb", 0.0)
     return terms
+
+
+def prior_bpd(diffusion: Diffusion, x_start):
+    """Prior KL term in bits/dim (reference gaussian_diffusion.py:808-822)."""
+    tables = diffusion.tables
+    B = x_start.shape[0]
+    t = jnp.full((B,), diffusion.num_timesteps - 1, jnp.int32)
+    qt_mean, _, qt_log_var = q_mean_variance(tables, x_start, t)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(
+    diffusion: Diffusion,
+    model_fn: ModelFn,
+    x_start,
+    key: jax.Array,
+    clip_denoised: bool = False,
+):
+    """Full variational bound in bits/dim over every timestep
+    (reference gaussian_diffusion.py:824-877), as one lax.scan.
+
+    Returns dict with total_bpd [B], prior_bpd [B], vb [B, T],
+    xstart_mse [B, T], mse [B, T] (index 0 = t = T-1, like the
+    reference's reversed loop).
+    """
+    tables = diffusion.tables
+    B = x_start.shape[0]
+    T = diffusion.num_timesteps
+    keys = jax.random.split(key, T)
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+
+    def body(carry, inp):
+        t_scalar, k = inp
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        noise = jax.random.normal(k, x_start.shape, x_start.dtype)
+        x_t = q_sample(tables, x_start, t, noise)
+        vb, pred_xstart = vb_terms_bpd(
+            diffusion, model_fn, x_start, x_t, t, clip_denoised)
+        xstart_mse = mean_flat((pred_xstart - x_start) ** 2)
+        eps = predict_eps_from_xstart(tables, x_t, t, pred_xstart)
+        mse = mean_flat((eps - noise) ** 2)
+        return carry, (vb, xstart_mse, mse)
+
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, None, (ts, keys))
+    vb = vb.T          # [B, T]
+    xstart_mse = xstart_mse.T
+    mse = mse.T
+    prior = prior_bpd(diffusion, x_start)
+    return {
+        "total_bpd": vb.sum(axis=1) + prior,
+        "prior_bpd": prior,
+        "vb": vb,
+        "xstart_mse": xstart_mse,
+        "mse": mse,
+    }

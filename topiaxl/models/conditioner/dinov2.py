@@ -32,6 +32,8 @@ _CONFIGS = {
     "dinov2_vits14_reg": (384, 12, 6, 14, 4),
     "dinov2_vitb14_reg": (768, 12, 12, 14, 4),
     "dinov2_vitl14_reg": (1024, 24, 16, 14, 4),
+    # tiny variant for CPU tests / smoke runs (not a released checkpoint)
+    "dinov2_tiny_test": (32, 1, 4, 7, 4),
 }
 
 

@@ -40,8 +40,12 @@ class DinoV2Wrapper:
                  image_size: int = 518, freeze: bool = True,
                  params=None, dtype=jnp.bfloat16):
         self.model_name = model_name
+        cfg = dinov2_config(model_name)
+        if model_name == "dinov2_tiny_test":
+            image_size = min(image_size, 28)
+            cfg = dict(cfg, pos_embed_size=image_size // cfg["patch_size"])
         self.image_size = image_size
-        self.vit = DinoViT(dtype=dtype, **dinov2_config(model_name))
+        self.vit = DinoViT(dtype=dtype, **cfg)
         self.params = params
         self._encode = jax.jit(self._encode_fn)
 
