@@ -47,6 +47,45 @@ def test_generate_primx_shapes():
     assert np.isfinite(np.asarray(params.feat)).all()
 
 
+def test_generate_primx_batched_and_sharded():
+    """B=2 batch path + dp-mesh sharded inference."""
+    from topiaxl.parallel import make_mesh
+
+    n_prims, in_ch, cond_ch = 8, 12, 6
+    dit = DiT(seq_length=n_prims, in_channels=in_ch, condition_channels=cond_ch,
+              hidden_size=16, depth=1, num_heads=2, cond_drop_prob=0.1,
+              dtype=jnp.float32)
+    vae = VAE3D(in_channels=6, latent_channels=1, out_channels=6,
+                down_channels=(8, 16), up_channels=(16, 8),
+                layers_per_block=1, dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing="ddim2", noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=100)
+    key = jax.random.PRNGKey(0)
+    dit_params = dit.init(key, jnp.zeros((1, n_prims, in_ch)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, 3, cond_ch)))
+    vae_params = vae.init(key, jnp.zeros((1, 4, 4, 4, 6)), key)
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 3, cond_ch))
+    mean = np.zeros(in_ch, np.float32)
+    std = np.ones(in_ch, np.float32)
+
+    out = infer.generate_primx(dit, vae, diffusion, dit_params, vae_params,
+                               y, key, mean, std, cfg_scale=1.5,
+                               prim_shape=4, dim_feat=6)
+    assert isinstance(out, list) and len(out) == 2
+    assert out[0].srt.shape == (n_prims, 4)
+
+    mesh = make_mesh({"dp": 2})
+    out_sh = infer.generate_primx_sharded(
+        dit, vae, diffusion, dit_params, vae_params, y, key, mean, std,
+        mesh, cfg_scale=1.5, prim_shape=4, dim_feat=6)
+    assert len(out_sh) == 2
+    # sharded == unsharded numerics
+    np.testing.assert_allclose(np.asarray(out_sh[0].srt),
+                               np.asarray(out[0].srt), atol=2e-5)
+
+
 def _sphere_primx(n_side=4, s=8, radius=0.55):
     """PrimX params that analytically encode a sphere SDF + color."""
     centers = np.linspace(-0.75, 0.75, n_side, dtype=np.float32)

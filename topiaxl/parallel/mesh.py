@@ -40,9 +40,11 @@ def make_mesh(axes: Mapping[str, int] | None = None,
             size = n // known
         names.append(name)
         sizes.append(size)
-    if int(np.prod(sizes)) != n:
-        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
-    dev_array = np.asarray(devices).reshape(sizes)
+    total = int(np.prod(sizes))
+    if total > n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} > {n} devices")
+    # an explicit smaller mesh uses the first `total` devices
+    dev_array = np.asarray(devices[:total]).reshape(sizes)
     return Mesh(dev_array, tuple(names))
 
 

@@ -94,11 +94,11 @@ def decode_primx(
     dim_feat: int = 6,
 ):
     """Tokens -> PrimX parameters: split srt | latent, batched VAE decode
-    of ALL prims at once, invert the payload normalization
-    (reference inference.py:331-348: sdf /= 5, rest = (x+1)/2).
+    of ALL prims (across the whole asset batch) at once, invert the
+    payload normalization (reference inference.py:331-348: sdf /= 5,
+    rest = (x+1)/2).
 
-    Returns PrimXParams with batch folded out (B must be 1) — extraction
-    operates per asset.
+    Returns (srt [B, N, 4], feat [B, N, C*S^3]).
     """
     B, N, C = recon_tokens.shape
     srt = recon_tokens[..., 0:4]
@@ -114,7 +114,7 @@ def decode_primx(
     # to reference channel-major layout [N, C * S^3]
     feat = payload.reshape(B * N, S**3, dim_feat).transpose(0, 2, 1)
     feat = feat.reshape(B, N, dim_feat * S**3)
-    return srt[0], feat[0]
+    return srt, feat
 
 
 def generate_primx(
@@ -139,7 +139,35 @@ def generate_primx(
         vae, vae_params, recon,
         num_prims=dit.seq_length, prim_shape=prim_shape, dim_feat=dim_feat,
     )
-    return PrimXParams(srt=srt, feat=feat)
+    if y.shape[0] == 1:
+        return PrimXParams(srt=srt[0], feat=feat[0])
+    return [PrimXParams(srt=srt[b], feat=feat[b]) for b in range(y.shape[0])]
+
+
+def generate_primx_sharded(
+    dit, vae, diffusion, dit_params, vae_params,
+    y: jnp.ndarray, key: jax.Array, latent_mean, latent_std,
+    mesh, latent_nf: float = 1.0, cfg_scale: float = 6.0,
+    prim_shape: int = 8, dim_feat: int = 6,
+):
+    """Batch inference over a device mesh: the asset batch shards along
+    the ``dp`` axis (params replicated), so assets/min scales with chip
+    count — the multi-chip serving story the reference lacks entirely
+    (SURVEY.md §2.6). Per-asset GLB extraction then proceeds per shard.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = "dp" if "dp" in mesh.shape else mesh.axis_names[0]
+    y = jax.device_put(y, NamedSharding(mesh, P(dp)))
+    repl = NamedSharding(mesh, P())
+    dit_params = jax.device_put(dit_params, repl)
+    vae_params = jax.device_put(vae_params, repl)
+    with mesh:
+        return generate_primx(
+            dit, vae, diffusion, dit_params, vae_params, y, key,
+            latent_mean, latent_std, latent_nf, cfg_scale,
+            prim_shape, dim_feat,
+        )
 
 
 # ---------------------------------------------------------------------------
