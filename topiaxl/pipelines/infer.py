@@ -33,7 +33,8 @@ from ..models.primx import PrimXParams
 # Stage 1: denoise + decode
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("dit", "cfg_scale", "keep_trajectory"))
+@partial(jax.jit, static_argnames=("dit", "cfg_scale", "keep_trajectory",
+                                   "sampler"))
 def sample_tokens(
     dit: DiT,
     diffusion: Diffusion,
@@ -42,6 +43,7 @@ def sample_tokens(
     key: jax.Array,
     cfg_scale: float = 6.0,
     keep_trajectory: bool = False,
+    sampler: str = "ddim",
 ):
     """Run the full DDIM chain; returns normalized tokens [B, N, 68].
 
@@ -71,7 +73,9 @@ def sample_tokens(
         def model_fn(x, t):
             return dit.apply(dit_params, x, t, kvs, method=DiT.forward_kv)
 
-    out = gaussian.ddim_sample_loop(
+    loop = (gaussian.ddim_sample_loop if sampler == "ddim"
+            else gaussian.p_sample_loop)
+    out = loop(
         diffusion, model_fn, noise, loop_key, clip_denoised=False,
         keep_trajectory=keep_trajectory,
     )
