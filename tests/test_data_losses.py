@@ -66,8 +66,8 @@ def test_encode_decode_tokens_roundtrip():
     # decode the tokens back through the pipeline: srt must round-trip
     srt2, feat2 = decode_primx(vae, params, jnp.asarray(tokens)[None],
                                num_prims=n, prim_shape=8, dim_feat=6)
-    np.testing.assert_allclose(np.asarray(srt2), srt, atol=1e-5)
-    assert feat2.shape == (n, 6 * 512)
+    np.testing.assert_allclose(np.asarray(srt2[0]), srt, atol=1e-5)
+    assert feat2.shape == (1, n, 6 * 512)
 
 
 def test_vae_losses():

@@ -1,0 +1,48 @@
+"""Visualization smoke tests (tiny sizes, CPU)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from topiaxl.render.visualize import (
+    colored_box_payload,
+    primx_to_payload,
+    visualize_multiview_primvolume,
+    visualize_primvolume,
+)
+
+
+def _tiny_recon(n=8, s=4):
+    rng = np.random.default_rng(0)
+    srt = np.zeros((n, 4), np.float32)
+    srt[:, 0] = 0.3
+    srt[:, 1:4] = rng.uniform(-0.4, 0.4, (n, 3))
+    feat = rng.uniform(-0.05, 0.05, (n, 6 * s**3)).astype(np.float32)
+    return jnp.asarray(np.concatenate([srt, feat], -1))[None]
+
+
+def test_payload_and_boxes():
+    recon = _tiny_recon()
+    feat = recon[0, :, 4:]
+    p = primx_to_payload(recon[0, :, :4], feat, 4)
+    # primx_to_payload(srt, feat, s)
+    assert p.shape == (8, 4, 4, 4, 4)
+    assert float(p[..., 3].max()) <= 255.0 + 1e-3
+
+    boxes = colored_box_payload(8, 4)
+    assert boxes.shape == (8, 4, 4, 4, 4)
+    assert float(boxes[..., 3].min()) == 10000.0
+
+
+def test_visualize_files(tmp_path):
+    recon = _tiny_recon()
+    p1 = str(tmp_path / "recon.jpg")
+    visualize_primvolume(p1, recon, 24, 24, prim_shape=4, num_steps=32,
+                         max_hits=4)
+    assert os.path.getsize(p1) > 0
+
+    p2 = str(tmp_path / "mv.jpg")
+    visualize_multiview_primvolume(p2, recon, views=2, height=24, width=24,
+                                   prim_shape=4, num_steps=32, max_hits=4)
+    assert os.path.getsize(p2) > 0

@@ -12,7 +12,7 @@ from __future__ import annotations
 import contextlib
 import json
 import time
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import jax
 

@@ -14,7 +14,7 @@ Parity with the reference conditioning stack
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ autocast regions).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

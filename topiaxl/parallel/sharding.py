@@ -10,8 +10,6 @@ reference implies but never shipped (SURVEY.md §2.6).
 from __future__ import annotations
 
 import re
-from typing import Mapping
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -18,7 +18,6 @@ conditioning images. This module provides:
 from __future__ import annotations
 
 import glob as globlib
-import os
 from typing import Iterator, Optional
 
 import jax

@@ -13,7 +13,6 @@ field query — all one jitted update.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -12,7 +12,6 @@ pattern; there is no NCCL-style process-group code anywhere.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
