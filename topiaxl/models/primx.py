@@ -75,7 +75,7 @@ def sdf2alpha(sdf: jnp.ndarray, var: float = 0.005) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k",
-                                   "training", "with_fallback"))
+                                   "training", "with_fallback", "outputs"))
 def query(
     params: PrimXParams,
     x: jnp.ndarray,
@@ -84,6 +84,7 @@ def query(
     top_k: int = 32,
     training: bool = False,
     with_fallback: bool = True,
+    outputs: tuple | None = None,
 ):
     """Evaluate the field at points x [P, 3] -> dict(sdf [P,1], tex [P,3],
     mat [P,2], feat [P,C]) (reference models/primsdf.py:52-102).
@@ -107,12 +108,29 @@ def query(
     scale_k = jnp.take(scale, idx, axis=0)  # [P, K, 1]
     coords = (x[:, None, :] - pos_k) / scale_k
 
-    # payload volumes as [N, S^3, C] (channels last for lane-dim gathers)
-    vols = params.feat.reshape(N, C, S**3).transpose(0, 2, 1)
-    sampled = gather_volume_trilinear(vols, idx, coords, (S, S, S))  # [P,K,C]
+    # sample only the channel range the caller needs (e.g. SDF-only grid
+    # evaluation gathers 1 channel instead of 6)
+    need = set(outputs) if outputs is not None else {"feat"}
+    if need <= {"sdf"}:
+        ch0, ch1 = 0, 1
+    elif need <= {"tex", "mat"}:
+        ch0, ch1 = 1, C
+    else:
+        ch0, ch1 = 0, C
+    nch = ch1 - ch0
+
+    # payload volumes as [N, S^3, nch] (channels last for lane-dim gathers)
+    vols = params.feat.reshape(N, C, S**3)[:, ch0:ch1].transpose(0, 2, 1)
+    sampled = gather_volume_trilinear(vols, idx, coords, (S, S, S))
 
     wn = jnp.where(w_top > 0, w_top, 0.0) / (wsum + 1e-6)
-    feat = jnp.sum(sampled * wn[..., None], axis=1)  # [P, C]
+    blended = jnp.sum(sampled * wn[..., None], axis=1)  # [P, nch]
+    # place into a full channel view for uniform slicing below
+    if (ch0, ch1) == (0, C):
+        feat = blended
+    else:
+        feat = jnp.zeros((x.shape[0], C), blended.dtype)
+        feat = feat.at[:, ch0:ch1].set(blended)
 
     if not training and with_fallback:
         # uncovered-point SDF fallback (models/primsdf.py:82-101)
@@ -133,12 +151,15 @@ def query(
     else:
         sdf = feat[:, 0:1]
 
-    return {
+    out = {
         "sdf": sdf,
         "tex": jnp.clip(feat[:, 1:4], 0.0, 1.0),
         "mat": jnp.clip(feat[:, 4:6], 0.0, 1.0),
         "feat": feat,
     }
+    if outputs is not None:
+        out = {k: out[k] for k in outputs}
+    return out
 
 
 def query_chunked(

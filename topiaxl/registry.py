@@ -41,6 +41,18 @@ def make_dit(**kw):
     )
 
 
+@register("topiaxl.DiTAdditivePosEmb", "models.dit_crossattn.DiTAdditivePosEmb")
+def make_dit_additive(**kw):
+    from .models.dit import DiTAdditivePosEmb
+
+    base = make_dit(**kw)
+    return DiTAdditivePosEmb(**{
+        f.name: getattr(base, f.name)
+        for f in type(base).__dataclass_fields__.values()
+        if f.name not in ("parent", "name")
+    })
+
+
 @register("topiaxl.VAE3D", "models.vae3d_dib.VAE")
 def make_vae(**kw):
     kw.pop("gradient_checkpointing", None)
