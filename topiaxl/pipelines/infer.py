@@ -204,7 +204,7 @@ def noise_filter(params: PrimXParams) -> PrimXParams:
 
 def sdf_grid(params: PrimXParams, resolution: int = 256,
              chunk: int = 32768, prim_shape: int = 8, dim_feat: int = 6,
-             top_k: int = 32, coarse: int = 64,
+             top_k: int = 16, coarse: int = 64,
              band_sigma: float = 3.0) -> np.ndarray:
     """SDF on a resolution^3 lattice, coarse-to-fine.
 
@@ -229,13 +229,17 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         return np.asarray(out["sdf"]).reshape(res, res, res)
 
     # --- coarse pass (with fallback: far-field needs signs) --------------
+    # Host<->device traffic is minimized throughout: a tunneled/remote
+    # device link can be ~MB/s, and even on a local host PCIe copies are
+    # the part that doesn't scale. Coarse grid comes back as f16.
     lin_c = np.linspace(-1.0, 1.0, coarse, dtype=np.float32)
     ic, jc, kc = np.meshgrid(lin_c, lin_c, lin_c, indexing="ij")
     pts_c = jnp.asarray(np.stack([ic, jc, kc], -1).reshape(-1, 3))
     out_c = primx_lib.query_chunked(
         params, pts_c, chunk=chunk, dim_feat=dim_feat,
         prim_shape=prim_shape, top_k=top_k, outputs=("sdf",))
-    grid_c = np.asarray(out_c["sdf"]).reshape(coarse, coarse, coarse)
+    grid_c = np.asarray(out_c["sdf"].astype(jnp.float16)).astype(np.float32)
+    grid_c = grid_c.reshape(coarse, coarse, coarse)
 
     # --- upsample to fine: separable 1-D linear interp on host (a device
     # jax.image.resize here measured 13s at 256^3 through the tunnel) ----
@@ -246,6 +250,39 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
 
     cell_c = 2.0 / (coarse - 1)
     band = ndimage.minimum_filter(np.abs(grid_c), size=3) < band_sigma * cell_c
+
+    if res % coarse == 0:
+        # fast path: ship only compact coarse-cell ids up (KBs), expand to
+        # the f^3 fine subcells ON DEVICE, get back int8-quantized SDF
+        # clamped to the band range (the isosurface lives well inside it)
+        f = res // coarse
+        ids = np.nonzero(band.reshape(-1))[0].astype(np.int32)
+        if ids.size == 0:
+            return grid
+        sdf_range = np.float32(band_sigma * cell_c)
+        cells_per_call = max(chunk // f**3, 1)
+        pad = (-len(ids)) % cells_per_call
+        ids_p = np.pad(ids, (0, pad))
+        q_parts = [
+            _refine_cells_int8(
+                params, jnp.asarray(ids_p[s:s + cells_per_call]),
+                coarse, res, sdf_range, dim_feat=dim_feat,
+                prim_shape=prim_shape, top_k=top_k)
+            for s in range(0, len(ids_p), cells_per_call)
+        ]
+        q = np.asarray(jnp.concatenate(q_parts))  # [n_cells, f^3] int8
+        vals = q.astype(np.float32) / 127.0 * sdf_range
+        # scatter into the fine grid: block (ci*f..+f)^3 per coarse cell
+        ci = ids // (coarse * coarse)
+        cj = (ids // coarse) % coarse
+        ck = ids % coarse
+        vals = vals[: len(ids)].reshape(len(ids), f, f, f)
+        for bi, (a, b, c) in enumerate(zip(ci, cj, ck)):
+            grid[a * f:(a + 1) * f, b * f:(b + 1) * f, c * f:(c + 1) * f] = \
+                vals[bi]
+        return grid
+
+    # general path (res not a multiple of coarse)
     band_up = _upsample3_nearest(band, res)
     idx = np.nonzero(band_up.reshape(-1))[0]
     if idx.size:
@@ -261,6 +298,59 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         flat[idx] = np.asarray(out_f["sdf"])[:, 0]
         grid = flat.reshape(res, res, res)
     return grid
+
+
+@partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k"))
+def _bake_query_u8(params, pts, dim_feat: int = 6, prim_shape: int = 8,
+                   top_k: int = 32):
+    """Texel PBR query returning uint8 [P, 5] = (RGB | rough, metal)."""
+    out = primx_lib.query(
+        params, pts, dim_feat=dim_feat, prim_shape=prim_shape, top_k=top_k,
+        with_fallback=False, outputs=("tex", "mat"))
+    v = jnp.concatenate([out["tex"], out["mat"]], axis=-1)
+    return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("coarse", "res", "dim_feat", "prim_shape",
+                                   "top_k"))
+def _refine_cells_int8(params, ids, coarse: int, res: int, sdf_range,
+                       dim_feat: int = 6, prim_shape: int = 8,
+                       top_k: int = 16):
+    """Evaluate the f^3 fine-lattice subcells of each coarse band cell and
+    return int8-quantized SDF (scaled by sdf_range). Everything —
+    coordinate expansion, field query, quantization — stays on device so
+    only ids (up) and int8 (down) cross the host link."""
+    f = res // coarse
+    n = ids.shape[0]
+    ci = ids // (coarse * coarse)
+    cj = (ids // coarse) % coarse
+    ck = ids % coarse
+    off = jnp.arange(f, dtype=jnp.int32)
+    # fine indices per cell, [n, f]
+    fi = ci[:, None] * f + off[None]
+    fj = cj[:, None] * f + off[None]
+    fk = ck[:, None] * f + off[None]
+    step = 2.0 / (res - 1)
+    xi = -1.0 + fi.astype(jnp.float32) * step
+    xj = -1.0 + fj.astype(jnp.float32) * step
+    xk = -1.0 + fk.astype(jnp.float32) * step
+    # [n, f, f, f, 3] — world coords (axis0 of the grid is world x)
+    pts = jnp.stack(
+        [
+            jnp.broadcast_to(xi[:, :, None, None], (n, f, f, f)),
+            jnp.broadcast_to(xj[:, None, :, None], (n, f, f, f)),
+            jnp.broadcast_to(xk[:, None, None, :], (n, f, f, f)),
+        ],
+        axis=-1,
+    ).reshape(n * f**3, 3)
+    # fallback stays ON: band cells just outside prim coverage would
+    # otherwise read 0 and fabricate crossings (costs <2% per micro-bench)
+    out = primx_lib.query(
+        params, pts, dim_feat=dim_feat, prim_shape=prim_shape, top_k=top_k,
+        with_fallback=True, outputs=("sdf",))
+    sdf = out["sdf"][:, 0]
+    q = jnp.clip(sdf / sdf_range, -1.0, 1.0) * 127.0
+    return jnp.round(q).astype(jnp.int8).reshape(n, f**3)
 
 
 def _interp_matrix_1d(n_in: int, n_out: int) -> np.ndarray:
@@ -365,19 +455,26 @@ def extract_glb(
     tick("rasterize")
 
     # on-device PBR queries at covered texels only (surface points are
-    # always prim-covered, so the uncovered-SDF fallback is skipped)
+    # always prim-covered, so the uncovered-SDF fallback is skipped);
+    # results come back already quantized to uint8 — the same 255-level
+    # quantization the reference bakes into its JPGs (inference.py:198) —
+    # keeping the host link traffic at 1 byte/channel
     tex_idx = np.nonzero(mask.reshape(-1))[0]
-    pts = jnp.asarray(xyz_map.reshape(-1, 3)[tex_idx])
-    out_m = primx_lib.query_chunked(
-        params, pts, chunk=batch_size, dim_feat=dim_feat,
-        prim_shape=prim_shape, with_fallback=False, outputs=("tex", "mat"),
-    )
+    pts = jnp.asarray(xyz_map.reshape(-1, 3)[tex_idx], jnp.float32)
+    P = pts.shape[0]
+    padded = jnp.pad(pts, ((0, (-P) % batch_size), (0, 0)))
+    batches = padded.reshape(-1, batch_size, 3)
+    parts = [
+        _bake_query_u8(params, batches[i], dim_feat=dim_feat,
+                       prim_shape=prim_shape)
+        for i in range(batches.shape[0])
+    ]
+    texmat = np.asarray(jnp.concatenate(parts))[:P]  # [P, 5] uint8
     out = {}
-    for k in ("tex", "mat"):
-        full = np.zeros((texture_size * texture_size, out_m[k].shape[-1]),
-                        np.float32)
-        full[tex_idx] = np.asarray(out_m[k])
-        out[k] = full
+    full = np.zeros((texture_size * texture_size, 5), np.float32)
+    full[tex_idx] = texmat.astype(np.float32) / 255.0
+    out["tex"] = full[:, 0:3]
+    out["mat"] = full[:, 3:5]
     tex = out["tex"].reshape(texture_size, texture_size, 3)
     mat = out["mat"].reshape(texture_size, texture_size, 2)
     feats = np.concatenate(
