@@ -55,6 +55,28 @@ def test_isosurface_watertight_and_oriented(sphere_mesh):
     assert abs(vol - expected) / expected < 0.05
 
 
+def test_isosurface_native_matches_numpy():
+    grid = _sphere_grid(24)
+    try:
+        vn, fn = extract_isosurface(grid, backend="native")
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("native backend unavailable")
+    vp, fp = extract_isosurface(grid, backend="numpy")
+    assert len(fn) == len(fp)
+    assert len(vn) == len(vp)
+    # same surface: sorted vertex sets match to float tolerance
+    np.testing.assert_allclose(
+        np.sort(vn.round(5), axis=0), np.sort(vp.round(5), axis=0), atol=1e-4)
+    # both watertight
+    for f in (fn, fp):
+        e = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]),
+                    axis=1)
+        _, cnt = np.unique(e, axis=0, return_counts=True)
+        assert (cnt == 2).all()
+
+
 def test_isosurface_empty_cases():
     v, f = extract_isosurface(np.ones((8, 8, 8), np.float32))
     assert len(v) == 0 and len(f) == 0

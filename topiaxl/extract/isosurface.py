@@ -202,10 +202,27 @@ def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0):
 
 
 def extract_isosurface(grid: np.ndarray, iso: float = 0.0,
-                       rescale_to_unit: bool = True):
+                       rescale_to_unit: bool = True,
+                       backend: str = "auto"):
     """Extract + rescale vertices from index coords to [-1, 1]
-    (reference inference.py:119-124)."""
-    verts, faces = marching_tetrahedra(np.asarray(grid), iso)
+    (reference inference.py:119-124).
+
+    backend 'native' uses the C++ extractor (topiaxl/native/mt.cpp,
+    ~20x faster single-core); 'numpy' is the vectorized executable spec;
+    'auto' prefers native.
+    """
+    grid = np.asarray(grid)
+    verts = faces = None
+    if backend in ("auto", "native"):
+        try:
+            from ..native import marching_tetrahedra as mt_native
+
+            verts, faces = mt_native(grid, iso)
+        except Exception:
+            if backend == "native":
+                raise
+    if verts is None:
+        verts, faces = marching_tetrahedra(grid, iso)
     if rescale_to_unit and verts.size:
         r = np.array(grid.shape, np.float32) - 1.0
         verts = verts / r * 2.0 - 1.0

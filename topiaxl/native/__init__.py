@@ -21,9 +21,12 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
+_SOURCES = ["qem.cpp", "mt.cpp"]
+
+
 def _build() -> None:
-    src = os.path.join(_DIR, "qem.cpp")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO]
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -32,9 +35,10 @@ def _load() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        src = os.path.join(_DIR, "qem.cpp")
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(src)):
+        src_mtime = max(
+            os.path.getmtime(os.path.join(_DIR, s)) for s in _SOURCES
+        )
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             _build()
         lib = ctypes.CDLL(_SO)
         lib.qem_decimate.restype = ctypes.c_int
@@ -43,6 +47,14 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mt_extract.restype = ctypes.c_int
+        lib.mt_extract.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
         _LIB = lib
@@ -70,3 +82,33 @@ def qem_decimate(verts: np.ndarray, faces: np.ndarray, target: int):
     if rc != 0:
         raise RuntimeError(f"qem_decimate failed rc={rc}")
     return (out_v[: nv_out.value].copy(), out_f[: nf_out.value].copy())
+
+
+def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0,
+                        est_tris: int | None = None):
+    """Native isosurface extraction; returns (verts [V,3] index coords,
+    faces [F,3])."""
+    lib = _load()
+    g = np.ascontiguousarray(grid, np.float32)
+    R0, R1, R2 = g.shape
+    if est_tris is None:
+        est_tris = max(int(4 * R0 * R1), 1 << 16) * 16
+    cap_f = est_tris
+    cap_v = est_tris  # welded verts < tris in practice
+    for _ in range(4):
+        out_v = np.empty((cap_v, 3), np.float32)
+        out_f = np.empty((cap_f, 3), np.int64)
+        nv = ctypes.c_int64(0)
+        nf = ctypes.c_int64(0)
+        rc = lib.mt_extract(
+            g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            R0, R1, R2, ctypes.c_float(iso),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap_v,
+            out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap_f,
+            ctypes.byref(nv), ctypes.byref(nf),
+        )
+        if rc == 0:
+            return (out_v[: nv.value].copy(), out_f[: nf.value].copy())
+        cap_v = max(nv.value, cap_v * 2)
+        cap_f = max(nf.value, cap_f * 2)
+    raise RuntimeError("mt_extract capacity negotiation failed")
