@@ -18,7 +18,16 @@ import numpy as np
 
 def _weld_vertices(verts: np.ndarray, faces: np.ndarray, tol: float = 1e-7):
     q = np.round(verts / max(tol, 1e-12)).astype(np.int64)
-    _, first, inv = np.unique(q, axis=0, return_index=True, return_inverse=True)
+    # pack quantized xyz into one int64 (21 bits/axis) — axis-unique on
+    # [V, 3] is far slower
+    off = np.int64(1) << 20
+    if np.abs(q).max() < off:
+        packed = ((q[:, 0] + off) << 42) | ((q[:, 1] + off) << 21) | (q[:, 2] + off)
+        _, first, inv = np.unique(packed, return_index=True,
+                                  return_inverse=True)
+    else:
+        _, first, inv = np.unique(q, axis=0, return_index=True,
+                                  return_inverse=True)
     return verts[first], inv[faces]
 
 
@@ -29,9 +38,17 @@ def _drop_bad_faces(faces: np.ndarray):
         & (faces[:, 0] != faces[:, 2])
     )
     faces = faces[ok]
-    # duplicate faces (any winding)
+    if len(faces) == 0:
+        return faces
+    # duplicate faces (any winding) — packed int64 key (np.unique with
+    # axis= is many times slower on large meshes)
     key = np.sort(faces, axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
+    v = int(key.max()) + 1
+    if v ** 3 < 2**62:
+        packed = (key[:, 0] * v + key[:, 1]) * v + key[:, 2]
+        _, first = np.unique(packed, return_index=True)
+    else:
+        _, first = np.unique(key, axis=0, return_index=True)
     return faces[np.sort(first)]
 
 
