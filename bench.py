@@ -49,13 +49,16 @@ def main():
         return model.apply(params, x, t, kvs, 6.0,
                            method=DiT.forward_with_cfg_kv)
 
-    out = jax.block_until_ready(step(params, x, t, kvs))  # compile
+    out = step(params, x, t, kvs)  # compile
+    # NOTE: force a scalar readback for the sync — block_until_ready does
+    # not reliably wait for execution through tunneled device backends
+    float(out.sum())
 
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
         out = step(params, out.astype(jnp.float32)[..., :68], t, kvs)
-    jax.block_until_ready(out)
+    float(out.sum())
     dt = time.perf_counter() - t0
 
     steps_per_sec = n / dt

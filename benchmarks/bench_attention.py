@@ -16,13 +16,15 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(f, *a, n=30):
-    o = f(*a)
-    jax.block_until_ready(o)
+def timeit(f, q, k, v, n=30):
+    # chain the output into the next query so every iteration MUST
+    # execute (block_until_ready under-syncs through the tunnel)
+    o = f(q, k, v)
+    jax.device_get(o[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(n):
-        o = f(*a)
-    jax.block_until_ready(o)
+        q = q + 0.0 * f(q, k, v)
+    jax.device_get(q[0, 0, 0, 0])
     return (time.perf_counter() - t0) / n * 1e3
 
 

@@ -47,7 +47,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     proj_bias: bool = True
     dtype: Dtype = jnp.bfloat16
-    attn_backend: str = "xla"
+    attn_backend: str = "auto"
 
     def setup(self):
         self.norm1 = LayerNormF32()
@@ -154,7 +154,7 @@ class DiT(nn.Module):
     attn_proj_bias: bool = True
     learn_sigma: bool = True
     dtype: Dtype = jnp.bfloat16
-    attn_backend: str = "xla"
+    attn_backend: str = "auto"
     remat: bool = False  # rematerialize blocks for training memory
 
     @property

@@ -86,7 +86,7 @@ class SelfAttention(nn.Module):
     qkv_bias: bool = True
     proj_bias: bool = True
     dtype: Dtype = jnp.bfloat16
-    backend: str = "xla"
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -118,7 +118,7 @@ class CrossAttention(nn.Module):
     qkv_bias: bool = True
     proj_bias: bool = True
     dtype: Dtype = jnp.bfloat16
-    backend: str = "xla"
+    backend: str = "auto"
 
     def setup(self):
         init = nn.initializers.xavier_uniform()

@@ -30,15 +30,22 @@ def multi_head_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Attention over [B, S, H, D] tensors (heads in dim 2, like xformers).
 
     Softmax is computed in float32 regardless of input dtype; the output
     keeps the input dtype.
+
+    backend 'auto' picks the Pallas flash kernel on TPU (the einsum path
+    materializes S_q x S_k f32 logits in HBM — ~0.5 GB/block at flagship
+    shapes — and measures ~4x slower) and the XLA path elsewhere
+    (interpret-mode Pallas is slow on CPU).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from .flash_attention import flash_attention
 

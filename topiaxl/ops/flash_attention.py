@@ -28,16 +28,17 @@ _NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
                   block_k: int):
-    # refs: q [1, BQ, 1, D], k/v [1, SKp, 1, D], o [1, BQ, 1, D]
-    q = q_ref[0, :, 0, :].astype(jnp.float32)          # [BQ, D]
+    # refs: q [1, BQ, D], k/v [1, SKp, D], o [1, BQ, D]; leading dim is
+    # the folded (batch*head) index
+    q = q_ref[0, :, :].astype(jnp.float32)             # [BQ, D]
     bq, d = q.shape
     skp = k_ref.shape[1]
     nk = skp // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), 0, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), 0, :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -61,7 +62,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -86,32 +87,35 @@ def _flash_forward(q, k, v, scale, block_q=256, block_k=512, interpret=None):
     sk_p = -(-Sk // block_k) * block_k
     d_p = max(128, -(-D // 128) * 128)
 
-    qp = _pad_to(_pad_to(q, sq_p, 1), d_p, 3)
-    kp = _pad_to(_pad_to(k, sk_p, 1), d_p, 3)
-    vp = _pad_to(_pad_to(v, sk_p, 1), d_p, 3)
+    # fold (batch, head) into one leading dim: TPU block shapes constrain
+    # only the LAST TWO dims, so refs become [1, seq, d]
+    def fold(x, s_p):
+        x = _pad_to(_pad_to(x, s_p, 1), d_p, 3)
+        return x.transpose(0, 2, 1, 3).reshape(B * H, s_p, d_p)
 
-    grid = (B, H, sq_p // block_q)
+    qp = fold(q, sq_p)
+    kp = fold(k, sk_p)
+    vp = fold(v, sk_p)
+
+    grid = (B * H, sq_p // block_q)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=Sk,
                           block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((B, sq_p, H, d_p), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, sq_p, d_p), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d_p),
-                         lambda b, h, i: (b, i, h, 0),
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_p, 1, d_p),
-                         lambda b, h, i: (b, 0, h, 0),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_p, 1, d_p),
-                         lambda b, h, i: (b, 0, h, 0),
+            pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d_p),
-                               lambda b, h, i: (b, i, h, 0),
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qp, kp, vp)
+    out = out.reshape(B, H, sq_p, d_p).transpose(0, 2, 1, 3)
     return out[:, :Sq, :, :D]
 
 
