@@ -145,6 +145,21 @@ def test_render_primx_sphere_silhouette():
     assert 0.10 < frac < 0.33, frac
 
 
+def test_subsample_rays():
+    from topiaxl.render.raymarch import subsample_rays
+
+    cam = frontal_camera(32, 32)
+    rp, rd, tm = subsample_rays(cam, 4)
+    assert rp.shape == (8, 8, 3) and tm.shape == (8, 8, 2)
+    # eval phase = centered: matches the full grid strided at offset 2
+    rp_full, rd_full, _ = compute_rays(cam)
+    np.testing.assert_allclose(np.asarray(rd),
+                               np.asarray(rd_full[2::4, 2::4]), atol=1e-6)
+    # training phase = random offset within the cell
+    rp2, rd2, _ = subsample_rays(cam, 4, key=__import__("jax").random.PRNGKey(0))
+    assert rd2.shape == (8, 8, 3)
+
+
 def test_orbit_camera_looks_at_origin():
     for ang in [0.3, 1.7, 4.0]:
         cam = orbit_camera(ang, 16, 16)

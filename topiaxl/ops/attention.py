@@ -45,7 +45,15 @@ def multi_head_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # flash pays off when logits would be large; tiny sequences (the
+        # VAE's 64-voxel volume attention) and small head dims are better
+        # served by the fused einsum path
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and k.shape[1] >= 512
+            and q.shape[-1] >= 64
+        )
+        backend = "pallas" if use_pallas else "xla"
     if backend == "pallas":
         from .flash_attention import flash_attention
 

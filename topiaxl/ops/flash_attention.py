@@ -83,7 +83,9 @@ def _flash_forward(q, k, v, scale, block_q=512, block_k=2048, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    block_q = min(block_q, max(Sq, 8))
+    # TPU lowering requires the sublane dim of each block be a multiple
+    # of 8 (or the full array dim)
+    block_q = min(block_q, -(-Sq // 8) * 8)
     block_k = min(block_k, 1 << (Sk - 1).bit_length())
 
     sq_p = -(-Sq // block_q) * block_q
