@@ -125,6 +125,76 @@ def test_sharded_train_step_matches_single_device():
                                rtol=2e-5)
 
 
+def test_tp_fsdp_train_step_matches_single_device():
+    """dp x fsdp x tp {2,2,2} over the 8-CPU mesh == single-device numerics
+    (VERDICT r1 item 1: prove the tp/fsdp rules, not just dp)."""
+    from topiaxl.parallel import (
+        batch_sharding, dit_param_rules, make_mesh, shard_params,
+    )
+
+    # head/hidden dims divisible by tp=2 and fsdp=2 so the rules bite
+    model = DiT(seq_length=8, in_channels=4, condition_channels=8,
+                hidden_size=32, depth=2, num_heads=4, cond_drop_prob=0.1,
+                dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=20)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 8)))
+    opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+    train_step = make_train_step(model, diffusion, opt)
+
+    batch = {
+        "x": jnp.asarray(np.random.default_rng(0).standard_normal((4, 8, 4)),
+                         jnp.float32),
+        "y": jnp.asarray(np.random.default_rng(1).standard_normal((4, 3, 8)),
+                         jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    s1, m1 = jax.jit(train_step)(create_train_state(params, opt), batch, key)
+
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    rules = dit_param_rules()
+    with mesh:
+        state2 = create_train_state(params, opt)
+        sharded = shard_params(state2.params, mesh, rules)
+        # prove the rules actually shard: at least one qkv kernel must be
+        # split over tp (silent replication would pass the numerics test)
+        qkv = sharded["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        assert "tp" in qkv.sharding.spec, qkv.sharding
+        state2 = state2._replace(
+            params=sharded,
+            ema_params=shard_params(state2.ema_params, mesh, rules),
+        )
+        bsh = batch_sharding(mesh, "dp")
+        batch2 = jax.tree.map(lambda a: jax.device_put(a, bsh), batch)
+        s2, m2 = jax.jit(train_step)(state2, batch2, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=2e-4)
+    # and one step of updated params agrees
+    k1 = np.asarray(s1.params["params"]["x_embedder"]["kernel"])
+    k2 = np.asarray(jax.device_get(s2.params["params"]["x_embedder"]["kernel"]))
+    np.testing.assert_allclose(k1, k2, atol=2e-6)
+
+
+def test_fit_spec_indivisible_warns(caplog):
+    import logging as _logging
+
+    from topiaxl.parallel import make_mesh
+    from topiaxl.parallel.sharding import _fit_spec
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    with caplog.at_level(_logging.WARNING, "topiaxl.parallel.sharding"):
+        spec = _fit_spec(P("tp", None), (7, 4), mesh, name="w.kernel")
+    assert spec == P(None, None)
+    assert any("not divisible" in r.message for r in caplog.records)
+
+
 def test_lsm_sampler_state():
     state = LossSecondMomentState.create(num_timesteps=10, history_per_term=3)
     t, w = lsm_sample(state, 16, jax.random.PRNGKey(0))

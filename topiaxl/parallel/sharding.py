@@ -9,9 +9,13 @@ reference implies but never shipped (SURVEY.md §2.6).
 
 from __future__ import annotations
 
+import logging
 import re
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 def dit_param_rules(tp_axis: str | None = "tp",
@@ -66,24 +70,36 @@ def shard_params(params, mesh: Mesh, rules) -> "jax.Array":
 
     def place(path, x):
         spec = spec_for(_path_str(path), rules)
-        spec = _fit_spec(spec, x.shape, mesh)
+        spec = _fit_spec(spec, x.shape, mesh, name=_path_str(path))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+def _fit_spec(spec: P, shape, mesh: Mesh, name: str = "?") -> P:
+    """Drop spec axes that don't exist in the mesh or don't divide the
+    dim. Any *indivisible* fallback is loud (warning log): a silently
+    replicated rule means "no sharding" and would otherwise hide a wrong
+    rule from every test (VERDICT r1 weak #8)."""
     out = []
     for i, ax in enumerate(spec):
         if ax is None or i >= len(shape):
             out.append(None)
             continue
         axes = ax if isinstance(ax, tuple) else (ax,)
+        # axes absent from the mesh are a deliberate degenerate config
+        # (e.g. a tp rule on a dp-only mesh) — quiet
         axes = tuple(a for a in axes if a in mesh.shape)
         size = 1
         for a in axes:
             size *= mesh.shape[a]
-        if size == 0 or size == 1 or shape[i] % size != 0:
+        if size <= 1:
+            out.append(None)
+        elif shape[i] % size != 0:
+            logger.warning(
+                "sharding rule for %s: dim %d (size %d) not divisible by "
+                "mesh axes %s (size %d); replicating that dim",
+                name, i, shape[i], axes, size)
             out.append(None)
         else:
             out.append(axes if len(axes) > 1 else axes[0])
@@ -94,7 +110,8 @@ def sharding_tree(params, mesh: Mesh, rules):
     """NamedSharding pytree (for jit in_shardings/out_shardings)."""
 
     def make(path, x):
-        spec = _fit_spec(spec_for(_path_str(path), rules), x.shape, mesh)
+        spec = _fit_spec(spec_for(_path_str(path), rules), x.shape, mesh,
+                         name=_path_str(path))
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(make, params)
