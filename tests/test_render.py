@@ -72,6 +72,7 @@ def _reference_march(payload, pos, scale, raypos, raydir, tminmax,
     return out
 
 
+@pytest.mark.slow
 def test_raymarch_matches_sequential_reference():
     rng = np.random.default_rng(0)
     pos, scale, payload = _scene(rng)
@@ -116,6 +117,7 @@ def test_compute_rays_geometry():
     assert abs(tm[16, 16, 1] - 6.0) < 0.1
 
 
+@pytest.mark.slow
 def test_render_primx_sphere_silhouette():
     from tests.test_pipeline import _sphere_primx
 

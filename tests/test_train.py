@@ -89,6 +89,7 @@ def test_ema_tracks_params():
         atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """DP over the 8-device CPU mesh == single-device numerics."""
     from topiaxl.parallel import batch_sharding, make_mesh, shard_params
@@ -134,7 +135,7 @@ def test_tp_fsdp_train_step_matches_single_device():
 
     # head/hidden dims divisible by tp=2 and fsdp=2 so the rules bite
     model = DiT(seq_length=8, in_channels=4, condition_channels=8,
-                hidden_size=32, depth=2, num_heads=4, cond_drop_prob=0.1,
+                hidden_size=32, depth=1, num_heads=4, cond_drop_prob=0.1,
                 dtype=jnp.float32)
     diffusion = create_diffusion(
         timestep_respacing=None, noise_schedule="squaredcos_cap_v2",

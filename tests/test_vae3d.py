@@ -54,6 +54,7 @@ def test_diagonal_gaussian_math():
     assert s.shape == p.mean.shape
 
 
+@pytest.mark.slow
 def test_flagship_config_shapes():
     """Exact flagship geometry: [B,8^3,6] payload <-> [B,4^3,1] latent."""
     model = VAE3D(dtype=jnp.float32)  # defaults = flagship

@@ -4,6 +4,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from topiaxl.render.visualize import (
     colored_box_payload,
@@ -35,6 +36,7 @@ def test_payload_and_boxes():
     assert float(boxes[..., 3].min()) == 10000.0
 
 
+@pytest.mark.slow
 def test_visualize_files(tmp_path):
     recon = _tiny_recon()
     p1 = str(tmp_path / "recon.jpg")

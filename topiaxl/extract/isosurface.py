@@ -207,19 +207,32 @@ def extract_isosurface(grid: np.ndarray, iso: float = 0.0,
     """Extract + rescale vertices from index coords to [-1, 1]
     (reference inference.py:119-124).
 
-    backend 'native' uses the C++ extractor (topiaxl/native/mt.cpp,
-    ~20x faster single-core); 'numpy' is the vectorized executable spec;
-    'auto' prefers native.
+    backends:
+      'mc'     — native table-based marching cubes (topiaxl/native/mc.cpp):
+                 reference-compatible geometry (same edge-crossing
+                 vertices as PyMCubes, inference.py:119) and ~45% fewer
+                 faces than MT, which speeds up every downstream stage.
+      'mt'     — native marching tetrahedra (topiaxl/native/mt.cpp).
+      'numpy'  — vectorized MT executable spec (this module).
+      'auto'   — mc, falling back to mt, falling back to numpy.
     """
     grid = np.asarray(grid)
     verts = faces = None
-    if backend in ("auto", "native"):
+    if backend in ("auto", "mc"):
+        try:
+            from ..native import marching_cubes as mc_native
+
+            verts, faces = mc_native(grid, iso)
+        except Exception:
+            if backend == "mc":
+                raise
+    if verts is None and backend in ("auto", "mt", "native"):
         try:
             from ..native import marching_tetrahedra as mt_native
 
             verts, faces = mt_native(grid, iso)
         except Exception:
-            if backend == "native":
+            if backend in ("mt", "native"):
                 raise
     if verts is None:
         verts, faces = marching_tetrahedra(grid, iso)

@@ -21,8 +21,22 @@ def rasterize_uv_atlas(
     attr_corners: np.ndarray,    # [F, 3, A] attribute per corner (e.g. xyz)
     height: int,
     width: int,
+    backend: str = "auto",
 ):
-    """Returns (attr_map [H, W, A] float32, mask [H, W] bool)."""
+    """Returns (attr_map [H, W, A] float32, mask [H, W] bool).
+
+    backend 'native' (C++ bbox fill, topiaxl/native/raster.cpp) is ~50x
+    the numpy bucketed path on single-core hosts; 'numpy' is the
+    executable spec; 'auto' prefers native.
+    """
+    if backend in ("auto", "native"):
+        try:
+            from ..native import raster_uv
+
+            return raster_uv(uv_corners, attr_corners, height, width)
+        except Exception:
+            if backend == "native":
+                raise
     F = uv_corners.shape[0]
     A = attr_corners.shape[-1]
     out = np.zeros((height * width, A), np.float32)

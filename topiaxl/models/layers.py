@@ -160,13 +160,21 @@ class CrossAttention(nn.Module):
 
 class LayerNormF32(nn.Module):
     """Affine-free LayerNorm computed in f32 (torch LN under autocast runs
-    f32; reference blocks use elementwise_affine=False, eps=1e-6)."""
+    f32; reference blocks use elementwise_affine=False, eps=1e-6).
+
+    ``out_dtype`` controls the emitted dtype: the normalization math is
+    always f32, but emitting the model dtype (bf16) directly lets XLA
+    fuse LN+modulate+cast without an f32 round-trip through HBM —
+    the residual stream then stays bf16 end to end, matching the
+    reference's fp16-autocast stream (dit_crossattn.py:197)."""
 
     epsilon: float = 1e-6
+    out_dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x32 = x.astype(jnp.float32)
         mean = x32.mean(axis=-1, keepdims=True)
         var = x32.var(axis=-1, keepdims=True)
-        return (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return out if self.out_dtype is None else out.astype(self.out_dtype)

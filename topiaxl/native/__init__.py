@@ -21,7 +21,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["qem.cpp", "mt.cpp"]
+_SOURCES = ["qem.cpp", "mt.cpp", "mc.cpp", "raster.cpp"]
 
 
 def _build() -> None:
@@ -57,6 +57,14 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mc_extract.restype = ctypes.c_int
+        lib.mc_extract.argtypes = list(lib.mt_extract.argtypes)
+        lib.raster_uv.restype = None
+        lib.raster_uv.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
         _LIB = lib
         return lib
 
@@ -84,11 +92,10 @@ def qem_decimate(verts: np.ndarray, faces: np.ndarray, target: int):
     return (out_v[: nv_out.value].copy(), out_f[: nf_out.value].copy())
 
 
-def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0,
-                        est_tris: int | None = None):
-    """Native isosurface extraction; returns (verts [V,3] index coords,
-    faces [F,3])."""
+def _iso_extract(fn_name: str, grid: np.ndarray, iso: float,
+                 est_tris: int | None):
     lib = _load()
+    fn = getattr(lib, fn_name)
     g = np.ascontiguousarray(grid, np.float32)
     R0, R1, R2 = g.shape
     if est_tris is None:
@@ -100,7 +107,7 @@ def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0,
         out_f = np.empty((cap_f, 3), np.int64)
         nv = ctypes.c_int64(0)
         nf = ctypes.c_int64(0)
-        rc = lib.mt_extract(
+        rc = fn(
             g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             R0, R1, R2, ctypes.c_float(iso),
             out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap_v,
@@ -111,4 +118,37 @@ def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0,
             return (out_v[: nv.value].copy(), out_f[: nf.value].copy())
         cap_v = max(nv.value, cap_v * 2)
         cap_f = max(nf.value, cap_f * 2)
-    raise RuntimeError("mt_extract capacity negotiation failed")
+    raise RuntimeError(f"{fn_name} capacity negotiation failed")
+
+
+def marching_tetrahedra(grid: np.ndarray, iso: float = 0.0,
+                        est_tris: int | None = None):
+    """Native MT isosurface; returns (verts [V,3] index coords, faces)."""
+    return _iso_extract("mt_extract", grid, iso, est_tris)
+
+
+def marching_cubes(grid: np.ndarray, iso: float = 0.0,
+                   est_tris: int | None = None):
+    """Native table-based marching cubes (reference-compatible geometry:
+    same edge-crossing vertices as PyMCubes, inference.py:119)."""
+    return _iso_extract("mc_extract", grid, iso, est_tris)
+
+
+def raster_uv(uv_corners: np.ndarray, attr_corners: np.ndarray,
+              height: int, width: int):
+    """Native UV-atlas rasterization: (attr_map [H,W,A] f32, mask [H,W])."""
+    lib = _load()
+    uv = np.ascontiguousarray(uv_corners, np.float32)
+    attr = np.ascontiguousarray(attr_corners, np.float32)
+    F = uv.shape[0]
+    A = attr.shape[-1]
+    out = np.zeros((height * width, A), np.float32)
+    cov = np.zeros(height * width, np.uint8)
+    lib.raster_uv(
+        uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        attr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        F, A, height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cov.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.reshape(height, width, A), cov.reshape(height, width).astype(bool)

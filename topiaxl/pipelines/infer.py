@@ -277,9 +277,10 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         cj = (ids // coarse) % coarse
         ck = ids % coarse
         vals = vals[: len(ids)].reshape(len(ids), f, f, f)
-        for bi, (a, b, c) in enumerate(zip(ci, cj, ck)):
-            grid[a * f:(a + 1) * f, b * f:(b + 1) * f, c * f:(c + 1) * f] = \
-                vals[bi]
+        # one vectorized block scatter: view the fine grid as
+        # [coarse, f, coarse, f, coarse, f] and index the coarse axes
+        gview = grid.reshape(coarse, f, coarse, f, coarse, f)
+        gview[ci, :, cj, :, ck, :] = vals
         return grid
 
     # general path (res not a multiple of coarse)
