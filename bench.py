@@ -71,13 +71,27 @@ def bench_dit_steps():
     # not reliably wait for execution through tunneled device backends
     float(out.sum())
 
-    n = 20
+    # measure the real serving path: the whole denoise chain is ONE
+    # compiled lax.scan (pipelines/infer.sample_tokens), so steps/s is
+    # chain time / steps — a host-side step loop would instead measure
+    # the tunnel's per-dispatch latency (~25 ms/step here)
+    @jax.jit
+    def chain(params, x0, kvs):
+        def body(x, i):
+            o = model.apply(params, x, jnp.full((1,), i, jnp.int32), kvs,
+                            6.0, method=DiT.forward_with_cfg_kv)
+            return o[..., :68], None
+        return jax.lax.scan(body, x0, jnp.arange(25))[0]
+
+    out = chain(params, x, kvs)  # compile
+    float(out.sum())
+    n = 4
     t0 = time.perf_counter()
     for i in range(n):
-        out = step(params, out.astype(jnp.float32)[..., :68], t, kvs)
+        out = chain(params, out, kvs)
     float(out.sum())
     dt = time.perf_counter() - t0
-    return n / dt
+    return 25 * n / dt
 
 
 def bench_e2e_seconds():

@@ -29,30 +29,33 @@ _NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
                   block_k: int):
     # refs: q [1, BQ, D], k/v [1, SKp, D], o [1, BQ, D]; leading dim is
-    # the folded (batch*head) index
-    q = q_ref[0, :, :].astype(jnp.float32)             # [BQ, D]
+    # the folded (batch*head) index. Matmul INPUTS stay in the stored
+    # dtype (bf16) with f32 accumulation — casting them to f32 first
+    # would run the MXU at the decomposed-f32 rate (~3-6x slower); the
+    # softmax state (m, l, acc) is f32 as usual.
+    q = q_ref[0, :, :]                                  # [BQ, D] bf16
     bq, d = q.shape
     skp = k_ref.shape[1]
     nk = skp // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                       # [BQ, BK]
+        ) * scale                                       # [BQ, BK] f32
         col = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         logits = jnp.where(col < kv_len, logits, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
-        p = jnp.exp(logits - m_new)                     # [BQ, BK]
+        p = jnp.exp(logits - m_new)                     # [BQ, BK] f32
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
@@ -84,9 +87,11 @@ def _flash_forward(q, k, v, scale, block_q=512, block_k=2048, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     # TPU lowering requires the sublane dim of each block be a multiple
-    # of 8 (or the full array dim)
+    # of 8 (or the full array dim). block_k only needs 8-alignment, NOT a
+    # power of two: the flagship cross-attn KV (1370 tokens) pads to 1376
+    # instead of 2048 — 33% less MXU work
     block_q = min(block_q, -(-Sq // 8) * 8)
-    block_k = min(block_k, 1 << (Sk - 1).bit_length())
+    block_k = min(block_k, -(-Sk // 8) * 8)
 
     sq_p = -(-Sq // block_q) * block_q
     sk_p = -(-Sk // block_k) * block_k
