@@ -1,0 +1,236 @@
+"""Quality UV unwrap: chart growth + per-chart LSCM parameterization.
+
+This is the ``fast_unwrap=False`` ("Better") path — the reference uses
+xatlas there (inference.py:152-160; app.py offers "Faster"/"Better").
+xatlas isn't available in this environment, so we implement the same
+recipe class: segment the surface into low-curvature charts by
+normal-cone region growing, flatten each chart with a Least-Squares
+Conformal Map (Levy et al. 2002), rescale each chart to its 3D area
+(uniform texel density), and shelf-pack the charts into one atlas
+(shared packer with the fast box-projection path).
+
+Charts whose LSCM solution folds (more than a few % flipped triangles —
+e.g. non-disk topology from aggressive growing) fall back to a best-fit
+plane projection, which is always valid for the pack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .uv_unwrap import pack_islands
+
+
+def _face_adjacency(f: np.ndarray):
+    """For each face, the faces sharing an edge with it (list of arrays)."""
+    F = len(f)
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    owner = np.tile(np.arange(F, dtype=np.int64), 3)
+    key = (np.minimum(edges[:, 0], edges[:, 1]).astype(np.int64)
+           * (f.max() + 1) + np.maximum(edges[:, 0], edges[:, 1]))
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    own_s = owner[order]
+    adj = [[] for _ in range(F)]
+    i = 0
+    n = len(key_s)
+    while i < n:
+        j = i + 1
+        while j < n and key_s[j] == key_s[i]:
+            j += 1
+        group = own_s[i:j]
+        for a in group:
+            for b in group:
+                if a != b:
+                    adj[a].append(b)
+        i = j
+    return adj
+
+
+def segment_charts(v: np.ndarray, f: np.ndarray,
+                   angle_thresh_deg: float = 45.0,
+                   max_faces: int = 12000) -> np.ndarray:
+    """Region-grow faces into charts bounded by a normal cone around the
+    running chart normal (xatlas-style chart growth). Returns per-face
+    chart ids."""
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+    adj = _face_adjacency(f)
+    cos_t = np.cos(np.deg2rad(angle_thresh_deg))
+
+    labels = np.full(len(f), -1, np.int64)
+    chart = 0
+    for seed in range(len(f)):
+        if labels[seed] >= 0:
+            continue
+        labels[seed] = chart
+        mean_n = fn[seed].copy()
+        count = 1
+        stack = [seed]
+        while stack and count < max_faces:
+            cur = stack.pop()
+            for nb in adj[cur]:
+                if labels[nb] >= 0:
+                    continue
+                if fn[nb] @ mean_n < cos_t:
+                    continue
+                labels[nb] = chart
+                mean_n = mean_n * count + fn[nb]
+                count += 1
+                mean_n /= max(np.linalg.norm(mean_n), 1e-12)
+                stack.append(nb)
+        chart += 1
+    return labels
+
+
+def _lscm_solve(v: np.ndarray, tris: np.ndarray) -> np.ndarray | None:
+    """LSCM parameterization of one chart. v [n,3], tris [m,3] local ids.
+    Returns uv [n, 2] or None on failure."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import lsqr
+
+    n = len(v)
+    m = len(tris)
+    p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    nrm = np.cross(e1, e2)
+    d = np.linalg.norm(nrm, axis=1)  # 2 * area
+    ok = d > 1e-14
+    x_ax = e1 / np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-14)
+    y_ax = np.cross(nrm / np.maximum(d[:, None], 1e-14), x_ax)
+    # local 2D coords of the three corners
+    q0 = np.zeros((m, 2), np.float64)
+    q1 = np.stack([np.einsum("ij,ij->i", e1, x_ax),
+                   np.zeros(m)], axis=1)
+    q2 = np.stack([np.einsum("ij,ij->i", e2, x_ax),
+                   np.einsum("ij,ij->i", e2, y_ax)], axis=1)
+    # complex gradient weights W_k = (q_{k+2} - q_{k+1}) / sqrt(d)
+    s = 1.0 / np.sqrt(np.maximum(d, 1e-14))[:, None]
+    W = np.stack([(q2 - q1) * s, (q0 - q2) * s, (q1 - q0) * s], axis=1)
+    W[~ok] = 0.0
+
+    # pin the two most distant vertices (approx: extremes along the
+    # dominant axis) to (0,0) and (1,0)
+    ext = v.max(0) - v.min(0)
+    axis = int(np.argmax(ext))
+    pin_a = int(np.argmin(v[:, axis]))
+    pin_b = int(np.argmax(v[:, axis]))
+    if pin_a == pin_b:
+        return None
+    pins = {pin_a: (0.0, 0.0), pin_b: (1.0, 0.0)}
+
+    free = np.array([i for i in range(n) if i not in pins], np.int64)
+    col_of = np.full(n, -1, np.int64)
+    col_of[free] = np.arange(len(free))
+
+    # rows: 2 per triangle (real & imaginary conformality residual);
+    # unknowns: [u_free | v_free]
+    rows, cols, vals = [], [], []
+    rhs = np.zeros(2 * m, np.float64)
+    nf = len(free)
+    for k in range(3):
+        wi = W[:, k, 0]  # Re
+        wr = W[:, k, 1]  # Im
+        vid = tris[:, k]
+        fmask = col_of[vid] >= 0
+        t_idx = np.arange(m)
+        # real rows: Re(W)*u - Im(W)*v ; imag rows: Im(W)*u + Re(W)*v
+        for (row_off, cu, cv_) in ((0, wi, -wr), (m, wr, wi)):
+            r = row_off + t_idx[fmask]
+            c_u = col_of[vid[fmask]]
+            rows += [r, r]
+            cols += [c_u, c_u + nf]
+            vals += [cu[fmask], cv_[fmask]]
+            # pinned contributions move to the rhs
+            pm = ~fmask
+            if pm.any():
+                pu = np.array([pins[int(i)][0] for i in vid[pm]])
+                pv = np.array([pins[int(i)][1] for i in vid[pm]])
+                np.subtract.at(rhs, row_off + t_idx[pm], cu[pm] * pu + cv_[pm] * pv)
+
+    A = coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(2 * m, 2 * nf),
+    ).tocsr()
+    sol = lsqr(A, rhs, atol=1e-8, btol=1e-8, iter_lim=3000)[0]
+
+    uv = np.zeros((n, 2), np.float64)
+    uv[free, 0] = sol[:nf]
+    uv[free, 1] = sol[nf:]
+    for i, (pu, pv) in pins.items():
+        uv[i] = (pu, pv)
+    if not np.isfinite(uv).all():
+        return None
+    return uv
+
+
+def _plane_project(v: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Fallback: project chart vertices onto its best-fit plane."""
+    c = v.mean(0)
+    x = v - c
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    return x @ vt[:2].T
+
+
+def quality_uv_unwrap(
+    v: np.ndarray,
+    vn: np.ndarray,  # unused; kept for contract parity with the fast path
+    f: np.ndarray,
+    island_padding: float = 0.02,
+    angle_thresh_deg: float = 45.0,
+    max_chart_faces: int = 12000,
+):
+    """Chart-grown LSCM unwrap (the reference's "Better" xatlas slot).
+
+    Same contract as box_projection_uv_unwrap: returns (uv [M,2] in
+    [0,1], indices [F,3]) with uv[indices] giving per-corner UVs.
+    """
+    v = np.asarray(v, np.float64)
+    f = np.asarray(f, np.int64)
+    labels = segment_charts(v.astype(np.float32), f,
+                            angle_thresh_deg, max_chart_faces)
+
+    islands = []
+    for lab in np.unique(labels):
+        fi = np.nonzero(labels == lab)[0]
+        tris = f[fi]
+        used = np.unique(tris)
+        local = np.full(len(v), -1, np.int64)
+        local[used] = np.arange(len(used))
+        ltris = local[tris]
+        lv = v[used]
+
+        uv = None
+        if len(used) > 3:
+            uv = _lscm_solve(lv, ltris)
+        if uv is not None:
+            # validity: flipped-triangle fraction in UV space
+            a = uv[ltris[:, 1]] - uv[ltris[:, 0]]
+            b = uv[ltris[:, 2]] - uv[ltris[:, 0]]
+            area2 = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+            dom = np.sign(np.sum(np.sign(area2)))
+            flipped = np.mean(np.sign(area2) != (dom if dom != 0 else 1))
+            if flipped > 0.02:
+                uv = None
+        if uv is None:
+            uv = _plane_project(lv, ltris)
+
+        # rescale so UV area == 3D area (uniform texel density), then
+        # shift to origin for the packer
+        p0, p1, p2 = lv[ltris[:, 0]], lv[ltris[:, 1]], lv[ltris[:, 2]]
+        area3 = 0.5 * np.linalg.norm(
+            np.cross(p1 - p0, p2 - p0), axis=1).sum()
+        a = uv[ltris[:, 1]] - uv[ltris[:, 0]]
+        b = uv[ltris[:, 2]] - uv[ltris[:, 0]]
+        areaU = 0.5 * np.abs(a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]).sum()
+        uv = uv * np.sqrt(area3 / max(areaU, 1e-14))
+
+        uv2 = uv[ltris]  # [m, 3, 2]
+        lo = uv2.reshape(-1, 2).min(0)
+        uv2 = (uv2 - lo).astype(np.float32)
+        size = uv2.reshape(-1, 2).max(0)
+        islands.append([fi, uv2, float(size[0]), float(size[1])])
+
+    return pack_islands(islands, len(f), island_padding)

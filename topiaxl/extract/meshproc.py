@@ -92,6 +92,9 @@ def clean_mesh(
     faces = _drop_bad_faces(faces)
     if len(faces) == 0:
         return verts[:0], faces
+    if remesh:
+        verts, faces = isotropic_remesh(verts, faces, size=remesh_size)
+        faces = _drop_bad_faces(faces)
 
     comp = _face_components(len(verts), faces)
     labels, counts = np.unique(comp, return_counts=True)
@@ -113,14 +116,35 @@ def clean_mesh(
     return verts, faces
 
 
+def isotropic_remesh(verts: np.ndarray, faces: np.ndarray,
+                     size: float = 0.01, iterations: int = 3):
+    """Isotropic explicit remeshing toward edge length ``size`` x the
+    bbox diagonal (reference utils/meshutils.py remesh=True semantics,
+    where pymeshlab's meshing_isotropic_explicit_remeshing runs with a
+    percentage target length). Native split/collapse/flip/smooth loop
+    (topiaxl/native/remesh.cpp)."""
+    from ..native import isotropic_remesh as native_remesh
+
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    if len(faces) == 0:
+        return verts, faces
+    diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+    target_len = max(size, 1e-5) * max(diag, 1e-9)
+    return native_remesh(verts, faces, target_len, iterations=iterations)
+
+
 def decimate_mesh(
     verts: np.ndarray,
     faces: np.ndarray,
     target: int = 100000,
     remesh: bool = False,
+    remesh_size: float = 0.01,
     backend: str = "auto",
 ):
-    """Reduce to <= ``target`` faces (reference utils/meshutils.py:63-116).
+    """Reduce to <= ``target`` faces (reference utils/meshutils.py:63-116),
+    optionally followed by an isotropic remesh pass like the reference's
+    ``remesh=True`` (pymeshlab remesh after simplification).
 
     backend 'native' uses the C++ QEM edge-collapse library when built;
     'cluster' is the vectorized numpy vertex-clustering fallback; 'auto'
@@ -128,10 +152,11 @@ def decimate_mesh(
     """
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int64)
+    out = None
     if len(faces) <= target:
-        return verts, faces
+        out = (verts, faces)
 
-    if backend in ("auto", "native"):
+    if out is None and backend in ("auto", "native"):
         try:
             from ..native import qem_decimate
 
@@ -141,12 +166,16 @@ def decimate_mesh(
                 verts, faces = _cluster_decimate(verts, faces, 4 * target)
             v, f = qem_decimate(verts, faces, target)
             if len(f) > 0:
-                return v, f
+                out = (v, f)
         except Exception:
             if backend == "native":
                 raise
 
-    return _cluster_decimate(verts, faces, target)
+    if out is None:
+        out = _cluster_decimate(verts, faces, target)
+    if remesh:
+        out = isotropic_remesh(out[0], out[1], size=remesh_size)
+    return out
 
 
 def _cluster_decimate(verts: np.ndarray, faces: np.ndarray, target: int):

@@ -94,7 +94,17 @@ def box_projection_uv_unwrap(
             size = uv2.reshape(-1, 2).max(0)
             islands.append([fi, uv2, float(size[0]), float(size[1])])
 
-    # ---- shelf packing (world-proportional scale => uniform texel density)
+    return pack_islands(islands, len(f), island_padding)
+
+
+def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
+    """Shelf-pack per-island 2D parameterizations into one atlas.
+
+    islands: list of [face_idx array, uv2 [m, 3, 2] (origin at 0, world
+    scale), width, height]. World-proportional scaling keeps texel
+    density uniform across islands. Returns (uv [M, 2] in [0,1],
+    indices [F, 3]).
+    """
     pad = max(island_padding, 1e-3)
     total_area = sum((w + 1e-6) * (h + 1e-6) for _, _, w, h in islands)
     scale = np.sqrt(0.82 / max(total_area, 1e-12))
@@ -110,7 +120,7 @@ def box_projection_uv_unwrap(
         raise RuntimeError("uv packing failed")
 
     uvs = []
-    indices = np.zeros((len(f), 3), np.int64)
+    indices = np.zeros((num_faces, 3), np.int64)
     offset = 0
     for (fi, uv2, w, h), (x0, y0) in zip(islands, placements):
         m = len(fi)

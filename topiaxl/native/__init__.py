@@ -21,7 +21,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["qem.cpp", "mt.cpp", "mc.cpp", "raster.cpp"]
+_SOURCES = ["qem.cpp", "mt.cpp", "mc.cpp", "raster.cpp", "remesh.cpp"]
 
 
 def _build() -> None:
@@ -64,6 +64,15 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.isotropic_remesh.restype = ctypes.c_int
+        lib.isotropic_remesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
         _LIB = lib
         return lib
@@ -152,3 +161,31 @@ def raster_uv(uv_corners: np.ndarray, attr_corners: np.ndarray,
         cov.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.reshape(height, width, A), cov.reshape(height, width).astype(bool)
+
+
+def isotropic_remesh(verts: np.ndarray, faces: np.ndarray,
+                     target_len: float, iterations: int = 3):
+    """Isotropic explicit remeshing (native); returns (verts, faces)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    f = np.ascontiguousarray(faces, np.int64)
+    cap_v = max(len(v) * 4, 1 << 14)
+    cap_f = max(len(f) * 4, 1 << 14)
+    for _ in range(4):
+        out_v = np.empty((cap_v, 3), np.float32)
+        out_f = np.empty((cap_f, 3), np.int64)
+        nv = ctypes.c_int64(0)
+        nf = ctypes.c_int64(0)
+        rc = lib.isotropic_remesh(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(f),
+            ctypes.c_float(target_len), int(iterations),
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap_v,
+            out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap_f,
+            ctypes.byref(nv), ctypes.byref(nf),
+        )
+        if rc == 0:
+            return (out_v[: nv.value].copy(), out_f[: nf.value].copy())
+        cap_v = max(nv.value, cap_v * 2)
+        cap_f = max(nf.value, cap_f * 2)
+    raise RuntimeError("isotropic_remesh capacity negotiation failed")

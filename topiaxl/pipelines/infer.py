@@ -445,7 +445,14 @@ def extract_glb(
     tick(f"decimate ({len(faces)} faces)")
 
     vn = compute_vertex_normal(verts, faces)
-    uv, uv_idx = box_projection_uv_unwrap(verts, vn, faces, 0.02)
+    if fast_unwrap:
+        uv, uv_idx = box_projection_uv_unwrap(verts, vn, faces, 0.02)
+    else:
+        # "Better" path (reference xatlas slot, inference.py:152-160):
+        # chart growth + per-chart LSCM
+        from ..extract.lscm import quality_uv_unwrap
+
+        uv, uv_idx = quality_uv_unwrap(verts, vn, faces, 0.02)
     tick("uv_unwrap")
 
     uv_corners = uv[uv_idx]                 # [F, 3, 2]
