@@ -19,14 +19,20 @@ import numpy as np
 logger = logging.getLogger("topiaxl.infer")
 
 
-def prepare_image(path: str, foreground_ratio: float = 0.85) -> np.ndarray:
+def prepare_image(path: str, foreground_ratio: float = 0.85,
+                  matting: str = "auto") -> np.ndarray:
     """Load, matte, recenter (reference inference.py:33-84, 306-311).
 
-    rembg isn't available in this environment; images with an alpha
-    channel use it as the matte, otherwise near-white background is
-    thresholded as a fallback matte.
+    Matting order (the reference uses rembg/U^2-Net, unavailable here):
+    an existing alpha channel wins; otherwise GrabCut foreground
+    segmentation (ops/matting.py) handles real photographs; a near-white
+    threshold remains as the fallback for synthetic white-background
+    renders where GrabCut degenerates. ``matting``: 'auto' | 'grabcut' |
+    'threshold'.
     """
     import cv2
+
+    from ..ops.matting import remove_background
 
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
@@ -37,8 +43,14 @@ def prepare_image(path: str, foreground_ratio: float = 0.85) -> np.ndarray:
         rgba = cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
     else:
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        bg = (rgb.astype(np.int32).sum(-1) > 3 * 247)
-        alpha = np.where(bg, 0, 255).astype(np.uint8)
+        alpha = None
+        if matting in ("auto", "grabcut"):
+            alpha = remove_background(rgb)
+        if alpha is None:
+            if matting == "grabcut":
+                raise ValueError(f"grabcut matting degenerated on {path}")
+            bg = (rgb.astype(np.int32).sum(-1) > 3 * 247)
+            alpha = np.where(bg, 0, 255).astype(np.uint8)
         rgba = np.dstack([rgb, alpha])
 
     ys, xs = np.nonzero(rgba[..., 3] > 0)

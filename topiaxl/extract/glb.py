@@ -45,13 +45,16 @@ def _png_bytes(img: np.ndarray) -> bytes:
 
 def align_to_uv(v: np.ndarray, f: np.ndarray, vt: np.ndarray, ft: np.ndarray):
     """Duplicate positions so each (position, uv) corner pair becomes one
-    glTF vertex (the reference's align_v_to_vt, utils/mesh.py:623-656)."""
+    glTF vertex (the reference's align_v_to_vt, utils/mesh.py:623-656).
+    Also returns the source vertex index per output vertex so per-vertex
+    attributes (normals) can follow the duplication."""
     corner = np.stack([f.reshape(-1), ft.reshape(-1)], axis=1)  # [3F, 2]
     uniq, inv = np.unique(corner, axis=0, return_inverse=True)
     new_v = v[uniq[:, 0]]
     new_vt = vt[uniq[:, 1]]
     new_f = inv.reshape(-1, 3)
-    return new_v.astype(np.float32), new_f.astype(np.uint32), new_vt.astype(np.float32)
+    return (new_v.astype(np.float32), new_f.astype(np.uint32),
+            new_vt.astype(np.float32), uniq[:, 0])
 
 
 def write_glb(
@@ -62,19 +65,26 @@ def write_glb(
     ft: Optional[np.ndarray] = None,
     albedo: Optional[np.ndarray] = None,
     metallic_roughness: Optional[np.ndarray] = None,
+    vn: Optional[np.ndarray] = None,
     name: str = "topiaxl",
 ) -> None:
     """Write a textured (or bare) mesh as .glb.
 
     v [V,3] f32; f [F,3] int; vt [Vt,2] in [0,1]; ft [F,3] int;
-    albedo / metallic_roughness: [H,W,3] float in [0,1] or uint8.
+    albedo / metallic_roughness: [H,W,3] float in [0,1] or uint8;
+    vn [V,3] vertex normals (carried through like the reference's Mesh
+    vn, utils/mesh.py:21-46,559).
     """
     v = np.asarray(v, np.float32)
     f = np.asarray(f, np.int64)
+    if vn is not None:
+        vn = np.asarray(vn, np.float32)
     has_uv = vt is not None and ft is not None
     if has_uv:
-        v, f, vt = align_to_uv(v, f, np.asarray(vt, np.float32),
-                               np.asarray(ft, np.int64))
+        v, f, vt, src = align_to_uv(v, f, np.asarray(vt, np.float32),
+                                    np.asarray(ft, np.int64))
+        if vn is not None:
+            vn = vn[src]
     else:
         f = f.astype(np.uint32)
 
@@ -115,6 +125,10 @@ def write_glb(
     )
 
     attributes = {"POSITION": pos_acc}
+    if vn is not None:
+        n = vn / np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-12)
+        nrm_view = add_view(n.astype(np.float32).tobytes(), target=34962)
+        attributes["NORMAL"] = add_accessor(nrm_view, _FLOAT, len(n), "VEC3")
     if has_uv:
         uv_view = add_view(vt.astype(np.float32).tobytes(), target=34962)
         attributes["TEXCOORD_0"] = add_accessor(uv_view, _FLOAT, len(vt), "VEC2")

@@ -501,7 +501,10 @@ def extract_glb(
                 (mr[..., ::-1] * 255).clip(0, 255).astype(np.uint8))
 
     glb_path = os.path.join(output_dir, "pbr_mesh.glb")
-    write_glb(glb_path, verts, faces, uv, uv_idx, albedo, mr)
+    # vertex normals ride along (reference Mesh carries vn through
+    # writes, utils/mesh.py:21-46,559); vn was computed on this geometry
+    # for the unwrap above
+    write_glb(glb_path, verts, faces, uv, uv_idx, albedo, mr, vn=vn)
     tick("write_glb")
     return glb_path
 

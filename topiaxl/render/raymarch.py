@@ -96,28 +96,49 @@ def raymarch(
     raydir: jnp.ndarray,         # [R, 3]
     tminmax: jnp.ndarray,        # [R, 2]
     num_steps: int = 192,
-    max_hits: int = 8,
+    max_hits: int = 16,
     fadescale: float = 8.0,
     fadeexp: float = 8.0,
+    prim_rot: jnp.ndarray | None = None,  # [K, 3, 3] world<-local rotation
 ) -> jnp.ndarray:
     """March a flat chunk of rays. Returns rgba [R, 4] (rgb premultiplied,
-    matching the reference output convention)."""
+    matching the reference output convention).
+
+    With ``prim_rot`` the full SRT transform of the reference is applied:
+    local = R^T (x - pos) * scale_inv (primtransf.h:69-180). The slab
+    test then runs in each prim's local frame (the reference's forward2
+    transforms the ray the same way). Without it, prims are axis-aligned
+    (the reference's live inference path, dva/visualize.py:396).
+    """
     K, S = payload.shape[0], payload.shape[1]
     if prim_scale_inv.ndim == 1:
         prim_scale_inv = prim_scale_inv[:, None]
     extent = 1.0 / prim_scale_inv[:, 0]  # [K] half-extent
 
-    # ---- stage 1: slab test against all prims ---------------------------
-    lo = prim_pos - extent[:, None]
-    hi = prim_pos + extent[:, None]
-    safe = jnp.where(jnp.abs(raydir) < 1e-12, 1e-12, raydir)
-    inv_d = 1.0 / safe                                     # [R, 3]
-    t1 = (lo[None] - raypos[:, None, :]) * inv_d[:, None]  # [R, K, 3]
-    t2 = (hi[None] - raypos[:, None, :]) * inv_d[:, None]
-    tin = jnp.max(jnp.minimum(t1, t2), axis=-1)            # [R, K]
-    tout = jnp.min(jnp.maximum(t1, t2), axis=-1)
     tmin = tminmax[:, 0:1]
     tmax = tminmax[:, 1:2]
+    if prim_rot is None:
+        # ---- stage 1: world-frame slab test against all prims ------------
+        lo = prim_pos - extent[:, None]
+        hi = prim_pos + extent[:, None]
+        safe = jnp.where(jnp.abs(raydir) < 1e-12, 1e-12, raydir)
+        inv_d = 1.0 / safe                                     # [R, 3]
+        t1 = (lo[None] - raypos[:, None, :]) * inv_d[:, None]  # [R, K, 3]
+        t2 = (hi[None] - raypos[:, None, :]) * inv_d[:, None]
+    else:
+        # ---- stage 1: per-prim local-frame slab test ----------------------
+        # o_loc = R^T (o - pos) / extent; d_loc = R^T d / extent; the prim
+        # is the unit cube [-1, 1]^3 in its local frame
+        o_rel = raypos[:, None, :] - prim_pos[None]            # [R, K, 3]
+        o_loc = jnp.einsum("kij,rki->rkj", prim_rot, o_rel)
+        d_loc = jnp.einsum("kij,ri->rkj", prim_rot, raydir)
+        o_loc = o_loc / extent[None, :, None]
+        d_loc = d_loc / extent[None, :, None]
+        safe_d = jnp.where(jnp.abs(d_loc) < 1e-12, 1e-12, d_loc)
+        t1 = (-1.0 - o_loc) / safe_d
+        t2 = (1.0 - o_loc) / safe_d
+    tin = jnp.max(jnp.minimum(t1, t2), axis=-1)            # [R, K]
+    tout = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit = (tout >= jnp.maximum(tin, tmin)) & (tin <= tmax) & (tout >= 0)
 
     big = jnp.float32(1e10)
@@ -142,7 +163,11 @@ def raymarch(
 
     pos_k = jnp.take(prim_pos, idx, axis=0)                # [R, kh, 3]
     sinv_k = jnp.take(prim_scale_inv[:, 0], idx, axis=0)   # [R, kh]
-    y0 = (pts - pos_k[:, :, None, :]) * sinv_k[:, :, None, None]
+    rel = pts - pos_k[:, :, None, :]                       # [R, kh, sp, 3]
+    if prim_rot is not None:
+        rot_k = jnp.take(prim_rot, idx, axis=0)            # [R, kh, 3, 3]
+        rel = jnp.einsum("rkij,rksi->rksj", rot_k, rel)    # R^T rel
+    y0 = rel * sinv_k[:, :, None, None]
     inside = jnp.all(jnp.abs(y0) < 1.0, axis=-1)           # [R, kh, sp]
     inside = inside & hit_valid[..., None]
 
@@ -178,12 +203,14 @@ def render_primx(
     camera: Camera,
     prim_shape: int = 8,
     num_steps: int = 192,
-    max_hits: int = 8,
+    max_hits: int = 16,
     chunk: int = 32768,
     payload: jnp.ndarray | None = None,
+    prim_rot: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Render a PrimX asset -> rgba image [H, W, 4] (rgb in 0..255 scale,
-    like the reference pipeline's payloads, dva/visualize.py:390-391)."""
+    like the reference pipeline's payloads, dva/visualize.py:390-391).
+    ``prim_rot`` [K, 3, 3] enables the full SRT prim transform."""
     from .visualize import primx_to_payload
 
     if payload is None:
@@ -205,7 +232,8 @@ def render_primx(
 
     def body(args):
         return raymarch(payload, pos, sinv, *args,
-                        num_steps=num_steps, max_hits=max_hits)
+                        num_steps=num_steps, max_hits=max_hits,
+                        prim_rot=prim_rot)
 
     out = jax.lax.map(body, (rp.reshape(-1, chunk, 3),
                              rd.reshape(-1, chunk, 3),
