@@ -20,3 +20,4 @@ __all__ = [
     "visualize_primvolume",
     "visualize_video_primvolume",
 ]
+from . import geom  # noqa: F401  (UV/3D geometry utilities, dva/geom.py parity)

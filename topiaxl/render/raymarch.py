@@ -100,6 +100,7 @@ def raymarch(
     fadescale: float = 8.0,
     fadeexp: float = 8.0,
     prim_rot: jnp.ndarray | None = None,  # [K, 3, 3] world<-local rotation
+    warp: jnp.ndarray | None = None,      # [K, S, S, S, 3] warp field
 ) -> jnp.ndarray:
     """March a flat chunk of rays. Returns rgba [R, 4] (rgb premultiplied,
     matching the reference output convention).
@@ -109,6 +110,13 @@ def raymarch(
     test then runs in each prim's local frame (the reference's forward2
     transforms the ray the same way). Without it, prims are axis-aligned
     (the reference's live inference path, dva/visualize.py:396).
+
+    ``warp`` enables the reference's algo=1 warp-field indirection
+    (primsampler.h:17-92, PrimSamplerTW<dowarp=true>): the local sample
+    coordinate first trilinearly reads the per-prim warp volume, and the
+    RESULT is the coordinate used to sample the rgba payload. The border
+    fade and validity test stay on the pre-warp coordinate, exactly as
+    in the CUDA kernel.
     """
     K, S = payload.shape[0], payload.shape[1]
     if prim_scale_inv.ndim == 1:
@@ -173,7 +181,16 @@ def raymarch(
 
     flat_payload = payload.reshape(K, S * S * S, 4)
     idx_full = jnp.broadcast_to(idx[:, :, None], y0.shape[:-1])
-    samples = gather_volume_trilinear(flat_payload, idx_full, y0, (S, S, S))
+    y_sample = y0
+    if warp is not None:
+        # algo=1: warp-field indirection — the payload is sampled at the
+        # warped coordinate; fade/validity keep using y0
+        Sw = warp.shape[1]
+        flat_warp = warp.reshape(K, Sw * Sw * Sw, 3)
+        y_sample = gather_volume_trilinear(flat_warp, idx_full, y0,
+                                           (Sw, Sw, Sw))
+    samples = gather_volume_trilinear(flat_payload, idx_full, y_sample,
+                                      (S, S, S))
     fade = jnp.exp(-fadescale * jnp.sum(jnp.abs(y0) ** fadeexp, axis=-1))
     alpha = samples[..., 3] * fade * inside                # [R, kh, sp]
     dA = alpha * dt_k[..., None]                           # [R, kh, sp]
