@@ -406,3 +406,66 @@ def test_dinov2_full_forward_parity():
          np.asarray(out["x_norm_regtokens"]),
          np.asarray(out["x_norm_patchtokens"])], axis=1)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# CLIP text/vision towers (transformers-random-init parity)
+# ---------------------------------------------------------------------------
+
+def test_clip_text_tower_parity():
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    from topiaxl.models.conditioner.clip import (
+        CLIPTextTower, convert_clip_text,
+    )
+
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, max_position_embeddings=16,
+                         eos_token_id=99)
+    tm = CLIPTextModel(cfg).eval()
+    ids = np.array([[5, 7, 23, 99, 0, 0], [1, 2, 3, 4, 5, 99]], np.int64)
+    with torch.no_grad():
+        out = tm(input_ids=torch.from_numpy(ids))
+        ref_h = out.last_hidden_state.numpy()
+        ref_p = out.pooler_output.numpy()
+
+    tower = CLIPTextTower(vocab_size=100, hidden_size=32, num_layers=2,
+                          num_heads=4, mlp_dim=64, max_positions=16,
+                          eos_token_id=99)
+    params = jax.tree.map(jnp.asarray,
+                          convert_clip_text(tm.state_dict(), num_layers=2))
+    got = tower.apply(params, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got["last_hidden_state"]), ref_h,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["pooled"]), ref_p,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_clip_vision_tower_parity():
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from topiaxl.models.conditioner.clip import (
+        CLIPVisionTower, convert_clip_vision,
+    )
+
+    cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=28, patch_size=7)
+    tm = CLIPVisionModel(cfg).eval()
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(pixel_values=torch.from_numpy(img).permute(0, 3, 1, 2))
+        ref_h = out.last_hidden_state.numpy()
+        ref_p = out.pooler_output.numpy()
+
+    tower = CLIPVisionTower(hidden_size=32, num_layers=2, num_heads=4,
+                            mlp_dim=64, patch_size=7, image_size=28)
+    params = jax.tree.map(jnp.asarray,
+                          convert_clip_vision(tm.state_dict(), num_layers=2))
+    got = tower.apply(params, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got["last_hidden_state"]), ref_h,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["pooled"]), ref_p,
+                               atol=2e-4, rtol=1e-3)

@@ -1,12 +1,31 @@
+from .clip import (
+    CLIPTextTower,
+    CLIPVisionTower,
+    convert_clip_text,
+    convert_clip_vision,
+)
 from .dinov2 import DinoViT, dinov2_config
-from .image import DinoV2Wrapper, ImageConditioner, DummyImageConditioner
-from .text import TextConditioner
+from .image import (
+    CLIPImageEncoder,
+    DinoV2Wrapper,
+    DummyImageConditioner,
+    ImageConditioner,
+    ImageMultiViewConditioner,
+)
+from .text import CLIPTextEncoder, TextConditioner
 
 __all__ = [
+    "CLIPImageEncoder",
+    "CLIPTextEncoder",
+    "CLIPTextTower",
+    "CLIPVisionTower",
+    "convert_clip_text",
+    "convert_clip_vision",
     "DinoViT",
     "dinov2_config",
     "DinoV2Wrapper",
-    "ImageConditioner",
     "DummyImageConditioner",
+    "ImageConditioner",
+    "ImageMultiViewConditioner",
     "TextConditioner",
 ]

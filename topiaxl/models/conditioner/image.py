@@ -168,33 +168,53 @@ class DummyImageConditioner:
 
 
 class CLIPImageEncoder:
-    """CLIP image tower -> [B, 1, D] pooled tokens (reference
-    models/conditioner/image.py:239-264 CLIPImageEncoder, and :266-290's
-    token variant via ``tokens=True``). open_clip isn't available here;
-    uses a transformers CLIPVisionModel when local weights are supplied
-    (zero-egress sandbox: no hub downloads)."""
+    """flax CLIP image tower -> pooled [B, 1, D] or token [B, 1+P, D]
+    conditioning (reference models/conditioner/image.py:239-264
+    CLIPImageEncoder and :266-290's CLIPImageTokenEncoder via
+    ``tokens=True``). Runs natively (conditioner/clip.py); weights come
+    from a LOCAL transformers CLIPVisionModel checkpoint (zero-egress
+    sandbox: no hub downloads), converted with convert_clip_vision —
+    parity pinned in tests/test_model_parity.py.
+
+    Input: [B, H, W, 3] in [0, 255]; preprocessing = /255, bicubic
+    resize to the tower's image size, CLIP-stat normalize (the same
+    chain the DINOv2 wrapper uses)."""
 
     def __init__(self, model_name_or_path: str | None = None,
-                 tokens: bool = False):
+                 tokens: bool = False, tower=None, params=None):
+        from .clip import CLIPVisionTower, convert_clip_vision
+
         self.tokens = tokens
-        self._model = None
         if model_name_or_path:
             from transformers import CLIPVisionModel
 
-            self._model = CLIPVisionModel.from_pretrained(model_name_or_path)
+            tm = CLIPVisionModel.from_pretrained(model_name_or_path)
+            cfg = tm.config
+            tower = CLIPVisionTower(
+                hidden_size=cfg.hidden_size,
+                num_layers=cfg.num_hidden_layers,
+                num_heads=cfg.num_attention_heads,
+                mlp_dim=cfg.intermediate_size,
+                patch_size=cfg.patch_size, image_size=cfg.image_size,
+            )
+            params = convert_clip_vision(tm.state_dict(),
+                                         num_layers=cfg.num_hidden_layers)
+        self.tower = tower
+        self.params = params
 
     def __call__(self, images):
-        if self._model is None:
+        if self.tower is None or self.params is None:
             raise RuntimeError(
                 "CLIPImageEncoder needs local CLIP weights "
-                "(model_name_or_path); the released 3DTopia-XL pipeline "
-                "conditions on DINOv2 instead (DinoV2Wrapper)."
+                "(model_name_or_path or tower+params); the released "
+                "3DTopia-XL pipeline conditions on DINOv2 instead "
+                "(DinoV2Wrapper)."
             )
-        import torch
-
-        px = torch.from_numpy(np.asarray(images, np.float32)).permute(0, 3, 1, 2)
-        with torch.no_grad():
-            out = self._model(pixel_values=px)
+        x = jnp.asarray(images, jnp.float32) / 255.0
+        size = self.tower.image_size
+        x = resize_bicubic(x, size, size)
+        x = (x - _CLIP_MEAN) / _CLIP_STD
+        out = self.tower.apply(self.params, x)
         if self.tokens:
-            return out.last_hidden_state.numpy()
-        return out.pooler_output[:, None, :].numpy()
+            return out["last_hidden_state"]
+        return out["pooled"][:, None, :]

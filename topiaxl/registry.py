@@ -107,3 +107,22 @@ def make_dummy_conditioner(**kw):
 @register("topiaxl.TextConditioner", "models.conditioner.text.TextConditioner")
 def make_text_conditioner(**kw):
     return TextConditioner(dim=kw.get("dim", 768))
+
+
+@register("topiaxl.CLIPImageEncoder",
+          "models.conditioner.image.CLIPImageEncoder")
+def make_clip_image_encoder(**kw):
+    from .models.conditioner.image import CLIPImageEncoder
+
+    return CLIPImageEncoder(
+        model_name_or_path=kw.get("model_name_or_path"),
+        tokens=bool(kw.get("tokens", False)),
+    )
+
+
+@register("topiaxl.CLIPTextEncoder",
+          "models.conditioner.text.CLIPTextEncoder")
+def make_clip_text_encoder(**kw):
+    from .models.conditioner.text import CLIPTextEncoder
+
+    return CLIPTextEncoder(model_name_or_path=kw.get("model_name_or_path"))
