@@ -8,18 +8,10 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.slow
-@pytest.mark.slow
-def test_cli_infer_tiny_e2e(tmp_path):
-    import cv2
-
-    # a tiny white blob on dark background as the input image
-    img = np.zeros((64, 64, 3), np.uint8)
-    cv2.circle(img, (32, 32), 20, (200, 180, 160), -1)
-    img_dir = tmp_path / "imgs"
-    os.makedirs(img_dir)
-    cv2.imwrite(str(img_dir / "blob.png"), img)
-
+def _tiny_config(tmp_path, img_dir=None):
+    """Write the tiny test config; returns its path."""
+    img_dir = img_dir or (tmp_path / "imgs")
+    os.makedirs(img_dir, exist_ok=True)
     cfg = tmp_path / "tiny.yml"
     cfg.write_text(textwrap.dedent(f"""
         debug: false
@@ -91,6 +83,20 @@ def test_cli_infer_tiny_e2e(tmp_path):
         tag: tiny
         output_dir: {tmp_path}/runs/tiny
     """))
+    return cfg
+
+
+@pytest.mark.slow
+def test_cli_infer_tiny_e2e(tmp_path):
+    import cv2
+
+    # a tiny white blob on dark background as the input image
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir, exist_ok=True)
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.circle(img, (32, 32), 20, (200, 180, 160), -1)
+    cv2.imwrite(str(img_dir / "blob.png"), img)
+    cfg = _tiny_config(tmp_path)
 
     from topiaxl.cli.infer import main
 
@@ -166,3 +172,35 @@ def test_prepare_image_grabcut_photo(tmp_path):
     assert (out_t.sum(-1) > 0).mean() > 0.7
     # while grabcut keeps only the object: clearly smaller coverage
     assert nz.mean() < 0.9 * (out_t.sum(-1) > 0).mean()
+
+
+def test_app_staged_pipeline(tmp_path):
+    """The demo app's three-stage flow (reference app.py:90-267):
+    preprocess -> generate (+preview) -> export, with export re-runnable
+    at different knobs without re-sampling."""
+    import cv2
+
+    from topiaxl.app import App
+
+    img = np.zeros((96, 96, 3), np.uint8)
+    cv2.circle(img, (48, 48), 30, (210, 180, 255), -1)
+    p = tmp_path / "blob.png"
+    cv2.imwrite(str(p), img)
+
+    cfg = _tiny_config(tmp_path)  # shared tiny-config helper
+    app = App(str(cfg), workdir=str(tmp_path / "app"))
+    pre = app.preprocess(str(p))
+    assert pre.shape[-1] == 3 and pre.max() <= 255.0
+
+    app.generate(steps=3, cfg_scale=2.0, seed=0)
+    assert app.primx is not None
+    assert os.path.exists(tmp_path / "app" / "denoised.npz")
+    prev = app.preview()
+    assert os.path.exists(prev)
+
+    glb1 = app.export(mc_resolution=32, decimate=3000, texture_size=128)
+    assert os.path.exists(glb1)
+    size1 = os.path.getsize(glb1)
+    # re-export with different knobs, no re-sample
+    glb2 = app.export(mc_resolution=48, decimate=3000, texture_size=128)
+    assert os.path.getsize(glb2) != size1

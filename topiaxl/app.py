@@ -1,12 +1,15 @@
-"""Interactive demo app (reference app.py parity).
+"""Interactive demo app (reference app.py:90-267 parity).
 
-The reference ships a Gradio UI with stages: background removal ->
-generate -> export GLB, with knobs for steps (25/50/100/200), CFG,
-seed, MC resolution (128/256), fast/better unwrap (app.py:90-267).
-gradio isn't installed in this environment; when it is available the
-same staged pipeline is exposed as a UI, otherwise ``python -m
-topiaxl.app image.png`` runs the staged pipeline headless with the same
-defaults.
+The reference Gradio demo is a THREE-stage pipeline with persistent
+session state: (1) background removal + recentering of the input photo,
+(2) DiT sampling -> PrimX with a reconstruction preview, (3) GLB export
+with quality knobs (MC resolution 128/256, decimation, remesh,
+Faster/Better unwrap). ``App`` implements those stages headlessly with
+the models built once and cached (the reference reloads per session);
+``launch_ui`` wraps the same object in a Gradio Blocks UI with the
+reference's knob set when gradio is installed (it is not baked into
+this environment). ``python -m topiaxl.app image.png [config]`` runs
+all three stages headless.
 """
 
 from __future__ import annotations
@@ -15,68 +18,214 @@ import os
 import sys
 
 
-def build_pipeline(config_path: str = "configs/inference_dit.yml",
-                   overrides=()):
-    import topiaxl.registry  # noqa: F401
-    from topiaxl.cli import infer as cli
+class App:
+    """Staged image -> PrimX -> GLB pipeline with cached models.
 
-    return cli, list(overrides)
+    Mirrors the reference app flow (app.py:90-142 process/export split):
+    stage outputs persist on the instance so export can re-run with
+    different knobs without re-sampling.
+    """
+
+    def __init__(self, config_path: str = "configs/inference_dit.yml",
+                 overrides=(), workdir: str = "runs/app"):
+        import jax
+
+        import topiaxl.registry  # noqa: F401
+        from topiaxl.core import build, load_config
+        from topiaxl.diffusion import create_diffusion
+        from topiaxl.models.latent_stats import get_latent_stats
+
+        self.cfg = load_config(config_path, overrides=list(overrides))
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+
+        self.dit = build(self.cfg.model.generator)
+        self.vae = build(self.cfg.model.vae)
+        self.conditioner = build(self.cfg.model.conditioner)
+        self.latent_nf = float(self.cfg.model.get("latent_nf", 1.0))
+        self.latent_mean, self.latent_std = get_latent_stats(
+            self.cfg.model.get("latent_stats", "primx_v1"))
+        self._create_diffusion = create_diffusion
+        self._params = None  # lazy: (dit_params, vae_params)
+        self._jax = jax
+        self.prepared = None   # stage-1 input image [H, W, 3] float 0..255
+        self.primx = None      # stage-2 output PrimXParams
+
+    # -- parameters ---------------------------------------------------------
+
+    def _ensure_params(self):
+        if self._params is not None:
+            return self._params
+        import jax.numpy as jnp
+
+        from topiaxl.cli.infer import load_model_params
+
+        self._params = load_model_params(
+            self.cfg, self.dit, self.vae, self.conditioner,
+            self._jax.random.PRNGKey(0))
+        del jnp
+        return self._params
+
+    # -- stage 1: preprocess -------------------------------------------------
+
+    def preprocess(self, image_path: str, remove_bg: bool = True,
+                   foreground_ratio: float = 0.85):
+        """Matte + recenter (reference app.py background-removal stage)."""
+        from topiaxl.cli.infer import prepare_image
+
+        self.prepared = prepare_image(
+            image_path, foreground_ratio,
+            matting="auto" if remove_bg else "threshold")
+        return self.prepared
+
+    # -- stage 2: generate ---------------------------------------------------
+
+    def generate(self, steps: int = 25, cfg_scale: float = 6.0,
+                 seed: int = 42):
+        """DDIM sample -> PrimX (reference app.py generate stage)."""
+        import jax.numpy as jnp
+
+        from topiaxl.pipelines import infer as P
+
+        if self.prepared is None:
+            raise RuntimeError("call preprocess(image) first")
+        dit_params, vae_params = self._ensure_params()
+        diffusion = self._create_diffusion(
+            timestep_respacing=f"ddim{int(steps)}",
+            noise_schedule=self.cfg.diffusion.noise_schedule,
+            parameterization=self.cfg.diffusion.parameterization,
+            diffusion_steps=int(self.cfg.diffusion.diffusion_steps),
+        )
+        y = self.conditioner.encode_image(
+            jnp.asarray(self.prepared)[None])
+        self.primx = P.generate_primx(
+            self.dit, self.vae, diffusion, dit_params, vae_params, y,
+            self._jax.random.PRNGKey(int(seed)),
+            self.latent_mean, self.latent_std, self.latent_nf,
+            cfg_scale=float(cfg_scale),
+            prim_shape=int(self.cfg.model.prim_shape),
+            dim_feat=int(self.cfg.model.dim_feat),
+        )
+        P.save_primx(os.path.join(self.workdir, "denoised.npz"), self.primx)
+        return self.primx
+
+    def preview(self, path: str | None = None):
+        """Frontal recon snapshot of the current PrimX (the reference's
+        per-step visualization, app.py preview pane)."""
+        from topiaxl.render.visualize import visualize_primvolume
+
+        if self.primx is None:
+            raise RuntimeError("call generate() first")
+        path = path or os.path.join(self.workdir, "preview.jpg")
+        visualize_primvolume(path, self.primx)
+        return path
+
+    # -- stage 3: export -----------------------------------------------------
+
+    def export(self, mc_resolution: int = 256, decimate: int = 100000,
+               texture_size: int = 1024, fast_unwrap: bool = True,
+               remesh: bool = False):
+        """PrimX -> pbr_mesh.glb (reference app.py export stage knobs:
+        MC res 128/256, remesh, unwrap Faster/Better)."""
+        from topiaxl.pipelines import infer as P
+
+        if self.primx is None:
+            raise RuntimeError("call generate() first")
+        return P.extract_glb(
+            self.primx, self.workdir,
+            mc_resolution=int(mc_resolution), decimate=int(decimate),
+            texture_size=int(texture_size),
+            batch_size=int(self.cfg.inference.get("batch_size", 32768)),
+            prim_shape=int(self.cfg.model.prim_shape),
+            dim_feat=int(self.cfg.model.dim_feat),
+            fast_unwrap=bool(fast_unwrap), remesh=bool(remesh),
+        )
+
+    def run(self, image_path: str, **kw):
+        """All three stages; defaults come from the config's inference
+        block (the CLI's knobs), overridable per call."""
+        inf = self.cfg.inference
+        self.preprocess(image_path, remove_bg=kw.pop("remove_bg", True))
+        self.generate(
+            steps=kw.pop("steps", int(inf.get("ddim", 25)) or 25),
+            cfg_scale=kw.pop("cfg_scale", float(inf.get("cfg", 6.0))),
+            seed=kw.pop("seed", int(inf.get("seed", 42))))
+        kw.setdefault("mc_resolution", int(inf.get("mc_resolution", 256)))
+        kw.setdefault("decimate", int(inf.get("decimate", 100000)))
+        kw.setdefault("fast_unwrap", bool(inf.get("fast_unwrap", True)))
+        kw.setdefault("remesh", bool(inf.get("remesh", False)))
+        return self.export(**kw)
 
 
-def run_headless(image_path: str, config_path: str = "configs/inference_dit.yml",
-                 ddim: int = 25, cfg: float = 6.0, seed: int = 42,
-                 mc_resolution: int = 256, fast_unwrap: bool = True):
-    from topiaxl.cli.infer import main as infer_main
-
-    img_dir = os.path.dirname(os.path.abspath(image_path)) or "."
-    overrides = [
-        f"inference.input_dir={img_dir}",
-        f"inference.ddim={ddim}",
-        f"inference.cfg={cfg}",
-        f"inference.seed={seed}",
-        f"inference.mc_resolution={mc_resolution}",
-        f"inference.fast_unwrap={str(fast_unwrap).lower()}",
-    ]
-    return infer_main([config_path] + overrides)
-
-
-def launch_ui(config_path: str = "configs/inference_dit.yml"):
+def launch_ui(config_path: str = "configs/inference_dit.yml",
+              overrides=()):
+    """Gradio Blocks UI with the reference's knob set (app.py:144-267)."""
     try:
-        import gradio as gr  # noqa: F401
+        import gradio as gr
     except ImportError:
         print("gradio is not installed; falling back to headless mode.\n"
               "usage: python -m topiaxl.app <image> [config.yml]")
         return None
 
-    import gradio as gr
+    app = App(config_path, overrides)
 
-    with gr.Blocks(title="topiaxl") as demo:
-        gr.Markdown("# topiaxl — image to PBR 3D asset (TPU)")
+    with gr.Blocks(title="topiaxl — 3DTopia-XL on TPU") as demo:
+        gr.Markdown("# topiaxl — single image to PBR 3D asset (TPU-native)")
         with gr.Row():
-            inp = gr.Image(label="input image", type="filepath")
-            out = gr.Model3D(label="generated GLB")
-        steps = gr.Radio([25, 50, 100, 200], value=25, label="DDIM steps")
-        cfg = gr.Slider(0, 10, value=6, label="CFG scale")
-        seed = gr.Number(value=42, label="seed")
-        mc = gr.Radio([128, 256], value=256, label="MC resolution")
-        btn = gr.Button("Generate")
+            with gr.Column():
+                inp = gr.Image(label="input image", type="filepath")
+                remove_bg = gr.Checkbox(True, label="remove background")
+                prep_view = gr.Image(label="preprocessed", interactive=False)
+                prep_btn = gr.Button("1 — Preprocess")
+            with gr.Column():
+                steps = gr.Radio([25, 50, 100, 200], value=25,
+                                 label="DDIM steps")
+                cfg = gr.Slider(0, 10, value=6, step=0.5, label="CFG scale")
+                seed = gr.Number(value=42, precision=0, label="seed")
+                gen_btn = gr.Button("2 — Generate")
+                preview = gr.Image(label="reconstruction preview",
+                                   interactive=False)
+            with gr.Column():
+                mc = gr.Radio([128, 256], value=256, label="MC resolution")
+                deci = gr.Number(value=100000, precision=0,
+                                 label="max faces")
+                unwrap = gr.Radio(["Faster", "Better"], value="Faster",
+                                  label="UV unwrap")
+                remesh = gr.Checkbox(False, label="isotropic remesh")
+                exp_btn = gr.Button("3 — Export GLB")
+                viewer = gr.Model3D(label="generated GLB")
 
-        def _run(image, steps, cfg, seed, mc):
-            run_headless(image, config_path, int(steps), float(cfg),
-                         int(seed), int(mc))
-            stem = os.path.splitext(os.path.basename(image))[0]
-            return os.path.join("runs/inference/topiaxl-sview",
-                                "inference_folder", stem, "pbr_mesh.glb")
+        def _prep(image, rm):
+            img = app.preprocess(image, remove_bg=bool(rm))
+            return img.astype("uint8")
 
-        btn.click(_run, [inp, steps, cfg, seed, mc], out)
+        def _gen(s, c, sd):
+            app.generate(int(s), float(c), int(sd))
+            return app.preview()
+
+        def _exp(m, d, uw, rm):
+            return app.export(mc_resolution=int(m), decimate=int(d),
+                              fast_unwrap=(uw == "Faster"),
+                              remesh=bool(rm))
+
+        prep_btn.click(_prep, [inp, remove_bg], prep_view)
+        gen_btn.click(_gen, [steps, cfg, seed], preview)
+        exp_btn.click(_exp, [mc, deci, unwrap, remesh], viewer)
     demo.launch()
     return demo
 
 
-if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        raise SystemExit(run_headless(
-            sys.argv[1],
-            sys.argv[2] if len(sys.argv) > 2 else "configs/inference_dit.yml",
-        ))
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv:
+        app = App(argv[1] if len(argv) > 1 else "configs/inference_dit.yml",
+                  overrides=argv[2:])
+        glb = app.run(argv[0])
+        print(glb)
+        return 0
     launch_ui()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

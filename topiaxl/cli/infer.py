@@ -72,40 +72,18 @@ def prepare_image(path: str, foreground_ratio: float = 0.85,
     return rgb.astype(np.float32)
 
 
-def main(argv=None):
-    argv = list(sys.argv[1:] if argv is None else argv)
-    logging.basicConfig(level=logging.INFO)
-    if not argv:
-        print(__doc__)
-        return 1
+def load_model_params(cfg, dit, vae, conditioner, key):
+    """Parameters from converted torch checkpoints, or random init
+    (reference inference.py:254-262: DiT under 'ema', VAE under
+    'model_state_dict', DINOv2 from its own state_dict). Also loads or
+    initializes the conditioner encoder in place. Shared by the CLI and
+    the app (topiaxl/app.py)."""
+    import jax
+    import jax.numpy as jnp
 
-    import topiaxl.registry  # noqa: F401  (populate the factory table)
-    from topiaxl.core import build, load_config
     from topiaxl.core.convert import (
         convert_dinov2, convert_dit, convert_vae, load_torch_checkpoint,
     )
-    from topiaxl.diffusion import create_diffusion
-    from topiaxl.models.latent_stats import get_latent_stats
-    from topiaxl.pipelines import infer as P
-    from topiaxl.render.visualize import (
-        visualize_primvolume, visualize_video_primvolume,
-    )
-
-    cfg = load_config(argv[0], overrides=argv[1:])
-    inference_dir = os.path.join(cfg.output_dir, "inference_folder")
-    os.makedirs(inference_dir, exist_ok=True)
-
-    key = jax.random.PRNGKey(int(cfg.inference.seed))
-
-    dit = build(cfg.model.generator)
-    vae = build(cfg.model.vae)
-    conditioner = build(cfg.model.conditioner)
-
-    # --- parameters: converted torch checkpoints, or random init ----------
-    def init_dit():
-        x = jnp.zeros((1, dit.seq_length, dit.in_channels))
-        return jax.jit(dit.init)(key, x, jnp.zeros((1,), jnp.int32),
-                                 jnp.zeros((1, 2, dit.condition_channels)))
 
     if cfg.get("checkpoint_path"):
         sd = load_torch_checkpoint(cfg.checkpoint_path, key="ema")
@@ -113,7 +91,10 @@ def main(argv=None):
         logger.info("loaded DiT EMA weights from %s", cfg.checkpoint_path)
     else:
         logger.warning("no checkpoint_path: DiT runs with random init")
-        dit_params = init_dit()
+        x = jnp.zeros((1, dit.seq_length, dit.in_channels))
+        dit_params = jax.jit(dit.init)(
+            key, x, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2, dit.condition_channels)))
 
     if cfg.model.get("vae_checkpoint_path"):
         sd = load_torch_checkpoint(cfg.model.vae_checkpoint_path,
@@ -132,9 +113,40 @@ def main(argv=None):
         sd = load_torch_checkpoint(dv2_ckpt)
         conditioner.encoder.params = jax.tree.map(
             jnp.asarray, convert_dinov2(sd, conditioner.encoder.vit.depth))
-    else:
+    elif hasattr(conditioner, "encoder") and hasattr(conditioner.encoder,
+                                                     "init_params"):
         logger.warning("no DINOv2 checkpoint: conditioner runs random init")
         conditioner.encoder.init_params(key)
+    return dit_params, vae_params
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    logging.basicConfig(level=logging.INFO)
+    if not argv:
+        print(__doc__)
+        return 1
+
+    import topiaxl.registry  # noqa: F401  (populate the factory table)
+    from topiaxl.core import build, load_config
+    from topiaxl.diffusion import create_diffusion
+    from topiaxl.models.latent_stats import get_latent_stats
+    from topiaxl.pipelines import infer as P
+    from topiaxl.render.visualize import (
+        visualize_primvolume, visualize_video_primvolume,
+    )
+
+    cfg = load_config(argv[0], overrides=argv[1:])
+    inference_dir = os.path.join(cfg.output_dir, "inference_folder")
+    os.makedirs(inference_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(int(cfg.inference.seed))
+
+    dit = build(cfg.model.generator)
+    vae = build(cfg.model.vae)
+    conditioner = build(cfg.model.conditioner)
+    dit_params, vae_params = load_model_params(cfg, dit, vae, conditioner,
+                                               key)
 
     diffusion = create_diffusion(
         timestep_respacing=(f"ddim{cfg.inference.ddim}"

@@ -73,10 +73,13 @@ def _render_pair(srt, feat, camera, prim_shape: int, num_steps: int,
 def visualize_primvolume(path: str, recon_param, height: int = 518,
                          width: int = 518, prim_shape: int | None = None,
                          num_steps: int = 128, max_hits: int = 8) -> None:
-    """recon_param: [B, N, 4 + 6*S^3]; writes a side-by-side rgb|boxes JPEG
-    (reference dva/visualize.py:215-293)."""
+    """recon_param: [B, N, 4 + 6*S^3] (or PrimXParams); writes a
+    side-by-side rgb|boxes JPEG (reference dva/visualize.py:215-293)."""
     import cv2
 
+    if hasattr(recon_param, "srt"):  # PrimXParams
+        recon_param = jnp.concatenate(
+            [recon_param.srt, recon_param.feat], axis=-1)[None]
     rp = jnp.asarray(recon_param)[0]
     srt = rp[:, :4]
     feat = rp[:, 4:]
