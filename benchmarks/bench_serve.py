@@ -1,0 +1,128 @@
+"""Multi-asset serving throughput: assets/min on one chip.
+
+BASELINE.md's third metric ("image->GLB assets/min/chip: benchmark to
+establish"). Measures N flagship assets end to end (conditioning tokens
+-> DDIM-25 -> VAE decode -> mc=256 GLB with 1024^2 textures), serial vs
+the serve_assets software pipeline (device denoise of asset i+1 overlaps
+host extraction of asset i).
+
+Usage: python benchmarks/bench_serve.py [--n 3] [--mc 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--mc", type=int, default=256)
+    ap.add_argument("--ddim", type=int, default=25)
+    args = ap.parse_args()
+
+    from topiaxl.diffusion import create_diffusion
+    from topiaxl.models import DiT, VAE3D
+    from topiaxl.models.latent_stats import get_latent_stats
+    from topiaxl.pipelines import infer as P
+
+    key = jax.random.PRNGKey(0)
+    dit = DiT(seq_length=2048, in_channels=68, condition_channels=768,
+              hidden_size=1152, depth=28, num_heads=16, cond_drop_prob=0.1,
+              attn_proj_bias=True, dtype=jnp.bfloat16)
+    vae = VAE3D(dtype=jnp.bfloat16)
+    diffusion = create_diffusion(
+        timestep_respacing=f"ddim{args.ddim}",
+        noise_schedule="squaredcos_cap_v2", parameterization="v",
+        diffusion_steps=1000)
+    dit_params = jax.jit(dit.init)(
+        key, jnp.zeros((1, 2048, 68)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 2, 768)))
+    dit_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dit_params)
+    vae_params = vae.init(key, jnp.zeros((1, 8, 8, 8, 6)), key)
+    mean, std = get_latent_stats("primx_v1")
+
+    # NOTE random DiT weights produce degenerate fields; stage 2 runs on a
+    # synthetic flagship-scale asset instead (same trick as bench.py) by
+    # monkeypatching the PrimX the extractor sees — throughput is
+    # weight-independent.
+    from topiaxl.models.primx import PrimXParams, local_grid
+
+    def synthetic_asset(seed):
+        rng = np.random.default_rng(seed)
+        n = 2048
+        v = rng.standard_normal((n, 3)).astype("f")
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pos = (v * 0.55).astype("f")
+        scale = np.full((n, 1), 0.07, "f")
+        world = (pos[:, None, :]
+                 + scale[:, 0][:, None, None] * local_grid(8)[None])
+        sdf = np.linalg.norm(world, axis=2) - 0.55
+        rgb = np.clip(0.5 + 0.5 * world.transpose(0, 2, 1), 0, 1)
+        mat = np.concatenate([np.full((n, 1, 512), 0.8),
+                              np.full((n, 1, 512), 0.2)], 1)
+        feat = np.concatenate([sdf[:, None, :], rgb, mat], 1).reshape(n, -1)
+        return PrimXParams(jnp.asarray(np.concatenate([scale, pos], 1)),
+                           jnp.asarray(feat.astype("f")))
+
+    ys = [jax.random.normal(jax.random.PRNGKey(10 + i), (1, 1370, 768))
+          for i in range(args.n)]
+    ex_kw = dict(mc_resolution=args.mc, decimate=100000, texture_size=1024,
+                 batch_size=32768, pos_scale=1.0)
+
+    def one_serial(i, tag):
+        p = P.generate_primx(dit, vae, diffusion, dit_params, vae_params,
+                             ys[i], jax.random.PRNGKey(100 + i), mean, std,
+                             cfg_scale=6.0)
+        float(p.feat.sum())
+        return P.extract_glb(synthetic_asset(i), f"/tmp/serve_{tag}_{i}",
+                             **ex_kw)
+
+    one_serial(0, "warm")  # compile everything once
+
+    t0 = time.perf_counter()
+    for i in range(args.n):
+        one_serial(i, "serial")
+    serial_s = time.perf_counter() - t0
+
+    # pipelined: overlap host extraction with the next asset's denoise
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futs = []
+        for i in range(args.n):
+            p = P.generate_primx(dit, vae, diffusion, dit_params,
+                                 vae_params, ys[i],
+                                 jax.random.PRNGKey(100 + i), mean, std,
+                                 cfg_scale=6.0)
+            float(p.feat.sum())
+            futs.append(pool.submit(
+                P.extract_glb, synthetic_asset(i), f"/tmp/serve_pipe_{i}",
+                **ex_kw))
+        for f in futs:
+            f.result()
+    pipe_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "assets_per_min_per_chip",
+        "value": round(60.0 * args.n / pipe_s, 2),
+        "unit": "assets/min",
+        "serial_assets_per_min": round(60.0 * args.n / serial_s, 2),
+        "pipeline_speedup": round(serial_s / pipe_s, 2),
+        "n": args.n,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -509,6 +509,57 @@ def extract_glb(
     return glb_path
 
 
+def serve_assets(
+    dit: DiT,
+    vae: VAE3D,
+    diffusion: Diffusion,
+    dit_params,
+    vae_params,
+    ys,                      # iterable of conditioning tokens [1, M, C]
+    output_dirs,             # matching iterable of output directories
+    key: jax.Array,
+    latent_mean,
+    latent_std,
+    latent_nf: float = 1.0,
+    cfg_scale: float = 6.0,
+    prim_shape: int = 8,
+    dim_feat: int = 6,
+    **extract_kw,
+) -> list:
+    """Throughput-oriented multi-asset serving: asset i+1's denoise/decode
+    runs on the device while asset i's mesh extraction (host-dominated:
+    isosurface, clean, decimate, unwrap, inpaint, GLB write) executes on
+    a worker thread. The reference processes images strictly serially
+    (inference.py:300); here the two stages form a software pipeline, so
+    assets/min approaches max(stage1_device, stage2) instead of their
+    sum. numpy/cv2/ctypes host stages release the GIL, so the overlap is
+    real even on one core.
+
+    Returns the list of GLB paths (same order as inputs).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    ys = list(ys)
+    output_dirs = list(output_dirs)
+    assert len(ys) == len(output_dirs)
+    results: list = [None] * len(ys)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = []
+        for i, (y, out_dir) in enumerate(zip(ys, output_dirs)):
+            key, gen_key = jax.random.split(key)
+            params = generate_primx(
+                dit, vae, diffusion, dit_params, vae_params, y, gen_key,
+                latent_mean, latent_std, latent_nf, cfg_scale,
+                prim_shape, dim_feat)
+            futures.append(pool.submit(
+                extract_glb, params, out_dir,
+                prim_shape=prim_shape, dim_feat=dim_feat, **extract_kw))
+        for i, fut in enumerate(futures):
+            results[i] = fut.result()
+    return results
+
+
 def save_primx(path: str, params: PrimXParams) -> None:
     """Persist stage-1 output (reference torch.save denoised.pt,
     inference.py:351-352)."""
