@@ -228,3 +228,48 @@ def test_checkpoint_roundtrip(tmp_path):
     k1 = restored.params["params"]["x_embedder"]["kernel"]
     np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
     assert int(restored.step) == 0
+
+
+def test_sequence_parallel_train_step_matches_single_device():
+    """dp x sp: activations sharded over batch AND tokens through the
+    whole train step — GSPMD inserts the attention all-gathers; numerics
+    match single-device (context-parallel axis, SURVEY §2.6)."""
+    from topiaxl.parallel import make_mesh, sequence_sharding
+
+    model, diffusion, params = _tiny_setup()
+    opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+    train_step = make_train_step(model, diffusion, opt)
+
+    batch = {
+        "x": jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 4)),
+                         jnp.float32),
+        "y": jnp.asarray(np.random.default_rng(1).standard_normal((2, 3, 6)),
+                         jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+    s1, m1 = jax.jit(train_step)(create_train_state(params, opt), batch, key)
+
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    from topiaxl.parallel.sharding import replicated
+
+    with mesh:
+        state2 = create_train_state(params, opt)
+        state2 = state2._replace(
+            params=jax.device_put(state2.params, replicated(mesh)),
+            ema_params=jax.device_put(state2.ema_params, replicated(mesh)),
+        )
+        from topiaxl.parallel import batch_sharding
+
+        ssh = sequence_sharding(mesh)  # [B, N, C] over (dp, sp)
+        batch2 = {
+            "x": jax.device_put(batch["x"], ssh),
+            # cond tokens (3) don't divide sp=4: batch-sharded only
+            "y": jax.device_put(batch["y"], batch_sharding(mesh, "dp")),
+        }
+        s2, m2 = jax.jit(train_step)(state2, batch2, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    k1 = np.asarray(s1.params["params"]["x_embedder"]["kernel"])
+    k2 = np.asarray(jax.device_get(s2.params["params"]["x_embedder"]["kernel"]))
+    np.testing.assert_allclose(k1, k2, atol=2e-6)

@@ -1,5 +1,10 @@
 from .mesh import make_mesh, mesh_from_config
-from .sharding import dit_param_rules, shard_params, batch_sharding
+from .sharding import (
+    batch_sharding,
+    dit_param_rules,
+    sequence_sharding,
+    shard_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -7,4 +12,5 @@ __all__ = [
     "dit_param_rules",
     "shard_params",
     "batch_sharding",
+    "sequence_sharding",
 ]

@@ -123,5 +123,18 @@ def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def sequence_sharding(mesh: Mesh, batch_axis: str = "dp",
+                      seq_axis: str = "sp") -> NamedSharding:
+    """[B, N, C] activations sharded over batch AND tokens — the
+    sequence/context-parallel layout. The model stays unchanged: under
+    jit, GSPMD inserts the all-gathers the attention needs (at 2048
+    tokens the gathered K/V is tiny over ICI) while the MLP/projection
+    matmuls — the bulk of the FLOPs — run fully token-sharded. Covered
+    by a numerics-equivalence test (tests/test_train.py)."""
+    dims = [batch_axis if batch_axis in mesh.shape else None,
+            seq_axis if seq_axis in mesh.shape else None]
+    return NamedSharding(mesh, P(*dims))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
