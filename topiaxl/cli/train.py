@@ -88,9 +88,18 @@ def main(argv=None):
         use_tp = mesh.shape.get("tp", 1) > 1 or mesh.shape.get("fsdp", 1) > 1
         placed = shard_params if use_tp else (
             lambda p, m, r: jax.device_put(p, replicated(m)))
+        # the WHOLE state must live on the mesh — a step counter left
+        # committed to one device makes jit reject the mixed placement.
+        # Adam moments shard with their parameters (the path rules match
+        # by suffix); scalars/counts replicate.
         state = state._replace(
+            step=jax.device_put(state.step, replicated(mesh)),
             params=placed(state.params, mesh, rules),
             ema_params=placed(state.ema_params, mesh, rules),
+            opt_state=placed(state.opt_state, mesh, rules),
+            sampler_state=(None if state.sampler_state is None else
+                           jax.device_put(state.sampler_state,
+                                          replicated(mesh))),
         )
         bsh = batch_sharding(mesh, "dp")
 
