@@ -48,3 +48,16 @@ def test_visualize_files(tmp_path):
     visualize_multiview_primvolume(p2, recon, views=2, height=24, width=24,
                                    prim_shape=4, num_steps=32, max_hits=4)
     assert os.path.getsize(p2) > 0
+
+
+@pytest.mark.slow
+def test_visualize_video_with_materials(tmp_path):
+    from topiaxl.render.visualize import visualize_video_primvolume
+
+    recon = _tiny_recon()
+    visualize_video_primvolume(str(tmp_path), recon, view_counts=2,
+                               height=24, width=24, prim_shape=4,
+                               num_steps=32, max_hits=4)
+    # rgb + prim + the mat view the reference app lists but never writes
+    for stem in ("rgb", "prim", "mat"):
+        assert any(f.startswith(stem) for f in os.listdir(tmp_path)), stem

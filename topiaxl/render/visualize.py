@@ -20,15 +20,23 @@ from .raymarch import render_primx
 
 
 def primx_to_payload(srt, feat, prim_shape: int = 8,
-                     sdf_var: float = 0.005) -> jnp.ndarray:
+                     sdf_var: float = 0.005,
+                     channels: str = "tex") -> jnp.ndarray:
     """PrimX payload -> raymarch rgba volume [K, S, S, S, 4]:
     rgb = tex * 255, alpha = exp(-(sdf/var)^2) * 255
-    (reference dva/visualize.py:388-392)."""
+    (reference dva/visualize.py:388-392). ``channels='mat'`` renders the
+    material channels instead: rgb = (roughness, metallic, 0) * 255 —
+    the mat.mp4 view the reference app lists but its visualizer never
+    writes (app.py:27,97 vs dva/visualize.py:444-447)."""
     S = prim_shape
     K = feat.shape[0]
     vol = feat.reshape(K, 6, S, S, S)
     alpha = sdf2alpha(vol[:, 0], var=sdf_var) * 255.0
-    rgb = vol[:, 1:4] * 255.0
+    if channels == "mat":
+        rgb = jnp.concatenate(
+            [vol[:, 4:6], jnp.zeros_like(vol[:, 0:1])], axis=1) * 255.0
+    else:
+        rgb = vol[:, 1:4] * 255.0
     rgba = jnp.concatenate([rgb, alpha[:, None]], axis=1)  # [K, 4, S, S, S]
     return rgba.transpose(0, 2, 3, 4, 1)
 
@@ -95,26 +103,40 @@ def visualize_video_primvolume(out_dir: str, recon_param, view_counts: int = 60,
                                height: int = 518, width: int = 518,
                                prim_shape: int | None = None,
                                num_steps: int = 128, max_hits: int = 8,
-                               fps: int = 20) -> None:
-    """Orbit rgb.mp4 + prim.mp4 (reference dva/visualize.py:370-455)."""
+                               fps: int = 20,
+                               with_materials: bool = True) -> None:
+    """Orbit rgb.mp4 + prim.mp4 (reference dva/visualize.py:370-455), and
+    — unlike the reference, whose app lists a mat.mp4 its visualizer
+    never produces — an actual mat.mp4 (roughness=R, metallic=G)."""
+    from .raymarch import render_primx
+
     rp = jnp.asarray(recon_param)[0]
     srt = rp[:, :4]
     feat = rp[:, 4:]
     if prim_shape is None:
         prim_shape = int(round(((rp.shape[1] - 4) / 6) ** (1 / 3)))
+    mat_payload = (primx_to_payload(srt, feat, prim_shape, channels="mat")
+                   if with_materials else None)
 
     angles = np.linspace(1.5, 3.5, view_counts + 1) * np.pi
-    rgb_frames, box_frames = [], []
+    rgb_frames, box_frames, mat_frames = [], [], []
     for ang in angles:
         cam = orbit_camera(float(ang), height, width)
         rgb, boxes = _render_pair(srt, feat, cam, prim_shape, num_steps,
                                   max_hits)
         rgb_frames.append(np.clip(rgb[..., :3], 0, 255).astype(np.uint8))
         box_frames.append(np.clip(boxes[..., :3], 0, 255).astype(np.uint8))
+        if mat_payload is not None:
+            mat = np.asarray(render_primx(
+                srt, feat, cam, prim_shape=prim_shape, num_steps=num_steps,
+                max_hits=max_hits, payload=mat_payload))
+            mat_frames.append(np.clip(mat[..., :3], 0, 255).astype(np.uint8))
 
     os.makedirs(out_dir, exist_ok=True)
     _write_video(os.path.join(out_dir, "rgb.mp4"), rgb_frames, fps)
     _write_video(os.path.join(out_dir, "prim.mp4"), box_frames, fps)
+    if mat_frames:
+        _write_video(os.path.join(out_dir, "mat.mp4"), mat_frames, fps)
 
 
 def visualize_multiview_primvolume(path: str, recon_param, views: int = 4,
