@@ -174,6 +174,7 @@ def test_prepare_image_grabcut_photo(tmp_path):
     assert nz.mean() < 0.9 * (out_t.sum(-1) > 0).mean()
 
 
+@pytest.mark.slow
 def test_app_staged_pipeline(tmp_path):
     """The demo app's three-stage flow (reference app.py:90-267):
     preprocess -> generate (+preview) -> export, with export re-runnable

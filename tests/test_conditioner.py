@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from topiaxl.models.conditioner import DinoViT, DinoV2Wrapper, dinov2_config
 from topiaxl.models.conditioner.text import TextConditioner
@@ -145,6 +146,7 @@ def test_condition_from_primx_scale_and_batch():
         atol=1e-4)
 
 
+@pytest.mark.slow
 def test_condition_from_primx_multiview():
     from topiaxl.models.conditioner.image import ImageMultiViewConditioner
 

@@ -8,6 +8,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "golden_v1.npz")
 
@@ -20,6 +21,7 @@ def _perturbed(params, seed=1, amp=0.05):
     )
 
 
+@pytest.mark.slow
 def test_dit_golden():
     from topiaxl.models import DiT
 

@@ -412,6 +412,7 @@ def test_dinov2_full_forward_parity():
 # CLIP text/vision towers (transformers-random-init parity)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_clip_text_tower_parity():
     from transformers import CLIPTextConfig, CLIPTextModel
 
@@ -442,6 +443,7 @@ def test_clip_text_tower_parity():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_clip_vision_tower_parity():
     from transformers import CLIPVisionConfig, CLIPVisionModel
 
