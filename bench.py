@@ -176,7 +176,61 @@ def main():
             result["stage2_extract_s"] = round(s2, 2)
         except Exception as e:  # never lose the primary metric
             result["image_to_glb_error"] = repr(e)[:200]
+        try:
+            result.update(bench_fidelity())
+        except Exception as e:
+            result["fidelity_error"] = repr(e)[:200]
     print(json.dumps(result))
+
+
+def bench_fidelity():
+    """Texture/geometry fidelity of the extraction chain (BASELINE.md
+    PSNR/geometry targets), measured against the PrimX field itself —
+    the same methodology as tests/test_fidelity.py, at bench scale."""
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    from tests.test_fidelity import _psnr, _textured_sphere
+    from topiaxl.extract.glb import read_glb
+    from topiaxl.extract.rasterize import rasterize_uv_atlas
+    from topiaxl.models import primx as primx_lib
+    from topiaxl.pipelines import infer as P
+
+    params = _textured_sphere()
+    tex_size = 512
+    with tempfile.TemporaryDirectory() as td:
+        glb = P.extract_glb(params, td, mc_resolution=128, decimate=60000,
+                            texture_size=tex_size, batch_size=32768,
+                            pos_scale=1.0)
+        gltf, blob = read_glb(glb)
+        prim = gltf["meshes"][0]["primitives"][0]
+
+        def load(name, dtype, ncomp):
+            acc = gltf["accessors"][name]
+            view = gltf["bufferViews"][acc["bufferView"]]
+            return np.frombuffer(blob, dtype, acc["count"] * ncomp,
+                                 view.get("byteOffset", 0)).reshape(-1, ncomp)
+
+        verts = load(prim["attributes"]["POSITION"], np.float32, 3)
+        uv = load(prim["attributes"]["TEXCOORD_0"], np.float32, 2)
+        faces = load(prim["indices"], np.uint32, 1).reshape(-1, 3)
+        xyz_map, mask = rasterize_uv_atlas(uv[faces], verts[faces],
+                                           tex_size, tex_size)
+        tex = cv2.imread(os.path.join(td, "texture.jpg"))[..., ::-1] / 255.0
+
+    dev = np.abs(np.linalg.norm(verts, axis=1) - 0.55)
+    ys, xs = np.nonzero(mask)
+    sub = slice(0, len(ys), max(len(ys) // 8192, 1))
+    pts = jnp.asarray(xyz_map[ys[sub], xs[sub]], jnp.float32)
+    out = primx_lib.query(params, pts, top_k=32, with_fallback=False,
+                          outputs=("tex",))
+    return {
+        "albedo_psnr_db": round(_psnr(tex[ys[sub], xs[sub]],
+                                      np.asarray(out["tex"])), 1),
+        "geometry_p99_dev": round(float(np.percentile(dev, 99)), 5),
+    }
 
 
 if __name__ == "__main__":
