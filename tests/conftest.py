@@ -18,6 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# the suite is XLA-compile-bound on this class of host (tiny graphs, one
+# core); skipping the heavy optimization passes cuts a cold run ~35%
+# without changing semantics (tests assert with tolerances)
+jax.config.update("jax_disable_most_optimizations", True)
 
 # persistent compilation cache: repeat suite runs skip most XLA compiles
 # (works on the CPU backend; the tunneled TPU backend ignores it)
