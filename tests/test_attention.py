@@ -84,3 +84,55 @@ def test_resize_bicubic_matches_torch_upscale():
         mode="bicubic", antialias=True,
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_flash_backward_matches_xla_vjp():
+    """The fused FlashAttention-2 backward (dq + dkv Pallas passes) must
+    match the XLA attention VJP, including non-multiple-of-block KV
+    lengths (cross-attn 1370-token case) and padded head dims."""
+    import jax
+
+    from topiaxl.ops.attention import _xla_attention
+    from topiaxl.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    for (B, Sq, Sk, H, hd, scale) in [
+        (2, 64, 64, 2, 8, 8**-0.5),
+        (1, 48, 21, 2, 12, 1.0 / 12.0),   # ragged KV + double-scale
+    ]:
+        q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+
+        out_f, vjp_f = jax.vjp(lambda a, b, c:
+                               flash_attention(a, b, c, scale), q, k, v)
+        out_x, vjp_x = jax.vjp(lambda a, b, c:
+                               _xla_attention(a, b, c, scale), q, k, v)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                                   atol=2e-5)
+        for gf, gx, name in zip(vjp_f(g), vjp_x(g), "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), atol=5e-5,
+                err_msg=f"d{name} (B={B},Sq={Sq},Sk={Sk})")
+
+
+def test_flash_backward_through_training_loss():
+    """End-to-end gradient through a jitted loss using flash attention."""
+    import jax
+
+    from topiaxl.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((1, 32, 2, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 24, 2, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 24, 2, 8)), jnp.float32)
+
+    @jax.jit
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 8**-0.5) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gr in grads:
+        assert np.isfinite(np.asarray(gr)).all()
+        assert float(jnp.abs(gr).max()) > 0

@@ -9,9 +9,10 @@ head_dim 72 padded to the 128-lane width).
 
 Numerics: logits and the softmax state are f32 regardless of input
 dtype (like the XLA path in ops/attention.py); output keeps the input
-dtype. Backward falls back to recomputed XLA attention via custom_vjp —
-fine for training at these sequence lengths, while the forward (the
-25-step inference loop) gets the fused kernel.
+dtype. The backward is the fused FlashAttention-2 two-pass form (a dq
+kernel blocked over queries and a dk/dv kernel blocked over keys),
+rebuilding the softmax from the forward's saved logsumexp — the
+attention matrix never materializes in HBM in either direction.
 """
 
 from __future__ import annotations
@@ -26,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                  block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                  scale: float, kv_len: int, block_k: int):
     # refs: q [1, BQ, D], k/v [1, SKp, D], o [1, BQ, D]; leading dim is
     # the folded (batch*head) index. Matmul INPUTS stay in the stored
     # dtype (bf16) with f32 accumulation — casting them to f32 first
@@ -66,6 +67,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, :, :] = out.astype(o_ref.dtype)
+    if lse_ref is not None:
+        # logsumexp of the scaled logits — the backward kernels rebuild
+        # p = exp(logits - lse) from it without rerunning the softmax
+        # chain. (stored with a singleton lane dim: TPU block shapes
+        # constrain the last two dims, so [BH, S] cannot be q-blocked.)
+        # Only emitted under jax.grad — the inference forward skips the
+        # extra output (measured ~1% of the step).
+        lse_ref[0, :, :] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _pad_to(x, size, axis):
@@ -77,7 +86,36 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _flash_forward(q, k, v, scale, block_q=512, block_k=2048, interpret=None):
+def _fold_sizes(q, k, block_q, block_k):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    # TPU lowering requires the sublane dim of each block be a multiple
+    # of 8 (or the full array dim). block_k only needs 8-alignment, NOT a
+    # power of two: the flagship cross-attn KV (1370 tokens) pads to 1376
+    # instead of 2048 — 33% less MXU work
+    block_q = min(block_q, -(-Sq // 8) * 8)
+    block_k = min(block_k, -(-Sk // 8) * 8)
+    sq_p = -(-Sq // block_q) * block_q
+    sk_p = -(-Sk // block_k) * block_k
+    d_p = max(128, -(-D // 128) * 128)
+    return block_q, block_k, sq_p, sk_p, d_p
+
+
+def _fold(x, s_p, d_p):
+    # fold (batch, head) into one leading dim: TPU block shapes constrain
+    # only the LAST TWO dims, so refs become [1, seq, d]
+    B, S, H, D = x.shape
+    x = _pad_to(_pad_to(x, s_p, 1), d_p, 3)
+    return x.transpose(0, 2, 1, 3).reshape(B * H, s_p, d_p)
+
+
+def _unfold(x, B, H, Sq, D):
+    return x.reshape(B, H, x.shape[1], x.shape[2]).transpose(0, 2, 1, 3)[
+        :, :Sq, :, :D]
+
+
+def _flash_forward(q, k, v, scale, block_q=512, block_k=2048,
+                   interpret=None, return_lse=False):
     # defaults tuned on v5e at flagship shapes (2x2048x16x72): a single
     # K/V block (no inner loop) + 512-row q blocks measured 1.7 ms vs
     # 34 ms for (256, 512)
@@ -85,34 +123,153 @@ def _flash_forward(q, k, v, scale, block_q=512, block_k=2048, interpret=None):
     Sk = k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
 
-    # TPU lowering requires the sublane dim of each block be a multiple
-    # of 8 (or the full array dim). block_k only needs 8-alignment, NOT a
-    # power of two: the flagship cross-attn KV (1370 tokens) pads to 1376
-    # instead of 2048 — 33% less MXU work
-    block_q = min(block_q, -(-Sq // 8) * 8)
-    block_k = min(block_k, -(-Sk // 8) * 8)
-
-    sq_p = -(-Sq // block_q) * block_q
-    sk_p = -(-Sk // block_k) * block_k
-    d_p = max(128, -(-D // 128) * 128)
-
-    # fold (batch, head) into one leading dim: TPU block shapes constrain
-    # only the LAST TWO dims, so refs become [1, seq, d]
-    def fold(x, s_p):
-        x = _pad_to(_pad_to(x, s_p, 1), d_p, 3)
-        return x.transpose(0, 2, 1, 3).reshape(B * H, s_p, d_p)
-
-    qp = fold(q, sq_p)
-    kp = fold(k, sk_p)
-    vp = fold(v, sk_p)
+    qp = _fold(q, sq_p, d_p)
+    kp = _fold(k, sk_p, d_p)
+    vp = _fold(v, sk_p, d_p)
 
     grid = (B * H, sq_p // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
+                          memory_space=pltpu.VMEM)
+    kern = functools.partial(_flash_kernel, scale=scale, kv_len=Sk,
+                             block_k=block_k)
+    if return_lse:
+        out, lse = pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, sq_p, d_p), q.dtype),
+                jax.ShapeDtypeStruct((B * H, sq_p, 1), jnp.float32),
+            ],
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                o_spec,
+                pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp)
+        return _unfold(out, B, H, Sq, D), lse  # lse folded [B*H, sq_p, 1]
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=Sk,
-                          block_k=block_k),
+        kern,
         out_shape=jax.ShapeDtypeStruct((B * H, sq_p, d_p), q.dtype),
         grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        interpret=interpret,
+    )(qp, kp, vp)
+    return _unfold(out, B, H, Sq, D)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, scale: float, kv_len: int,
+                         block_k: int):
+    """dq for one q block: loop over k/v blocks
+    (FlashAttention-2 backward, dq pass)."""
+    q = q_ref[0]                                    # [BQ, D] bf16
+    do = do_ref[0]                                  # [BQ, D]
+    lse = lse_ref[0]                                # [BQ, 1] f32
+    delta = delta_ref[0]                            # [BQ, 1] f32
+    bq, d = q.shape
+    skp = k_ref.shape[1]
+    nk = skp // block_k
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+        col = i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        p = jnp.where(col < kv_len, jnp.exp(logits - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [BQ, BK]
+        ds = (p * (dp - delta)).astype(q.dtype)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale: float, q_len: int,
+                          block_q: int):
+    """dk/dv for one k/v block: loop over q blocks
+    (FlashAttention-2 backward, dkv pass)."""
+    k = k_ref[0]                                    # [BK, D]
+    v = v_ref[0]
+    bk, d = k.shape
+    sqp = q_ref.shape[1]
+    nq = sqp // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+        row = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, bk), 0)
+        p = jnp.where(row < q_len, jnp.exp(logits - lse), 0.0)
+        p_t = p.astype(q.dtype)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_t, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [BK, D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (z, z))
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, do, scale,
+                    block_q=512, block_k=512, interpret=None):
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
+
+    qp = _fold(q, sq_p, d_p)
+    kp = _fold(k, sk_p, d_p)
+    vp = _fold(v, sk_p, d_p)
+    dop = _fold(do, sq_p, d_p)
+    op = _fold(out, sq_p, d_p)
+    # delta = rowsum(do * o) — padded dims are zero, so fold-then-sum is
+    # exact; tiny elementwise op, leave it to XLA
+    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
+                    axis=-1, keepdims=True)               # [BH, sq_p, 1]
+    lse = lse.astype(jnp.float32)                         # [BH, sq_p, 1]
+
+    BH = B * H
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=Sk,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((BH, sq_p, d_p), q.dtype),
+        grid=(BH, sq_p // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
                          memory_space=pltpu.VMEM),
@@ -120,13 +277,51 @@ def _flash_forward(q, k, v, scale, block_q=512, block_k=2048, interpret=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk_p, d_p), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qp, kp, vp)
-    out = out.reshape(B, H, sq_p, d_p).transpose(0, 2, 1, 3)
-    return out[:, :Sq, :, :D]
+    )(qp, kp, vp, dop, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_len=Sq,
+                          block_q=block_q),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, sk_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((BH, sk_p, d_p), v.dtype),
+        ],
+        grid=(BH, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq_p, d_p), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, d_p), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, 1), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, 1), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    return (_unfold(dq, B, H, Sq, D), _unfold(dk, B, H, Sk, D),
+            _unfold(dv, B, H, Sk, D))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -136,16 +331,17 @@ def flash_attention(q, k, v, scale: float):
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, res, g):
-    # recompute-based backward through the XLA formulation
-    from .attention import _xla_attention
-
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
+    # fused FlashAttention-2 backward (dq + dkv Pallas passes); the
+    # softmax is rebuilt from the forward's logsumexp, never materialized
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g.astype(q.dtype),
+                                 scale)
+    return dq, dk, dv
 
 
 flash_attention.defvjp(_fwd, _bwd)
