@@ -356,3 +356,22 @@ def test_glb_normals_attribute(tmp_path, sphere_mesh):
                       pview.get("byteOffset", 0)).reshape(-1, 3)
     pn = p / np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-9)
     assert float(np.einsum("ij,ij->i", pn, n).mean()) > 0.98
+
+
+def test_uv_unwrap_many_tiny_islands_packs():
+    """Noisy geometry can yield thousands of disconnected components; the
+    packer must scale its per-island padding down instead of failing
+    (fixed regression: padding did not shrink with scale, so >~2300
+    islands could never pack)."""
+    rng = np.random.default_rng(0)
+    n = 4000
+    # n disjoint tiny triangles scattered in the unit cube, random normals
+    c = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    e1 = rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+    e2 = rng.normal(size=(n, 3)).astype(np.float32) * 0.01
+    v = np.stack([c, c + e1, c + e2], axis=1).reshape(-1, 3)
+    f = np.arange(3 * n, dtype=np.int64).reshape(n, 3)
+    vn = compute_vertex_normal(v, f)
+    uv, idx = box_projection_uv_unwrap(v, vn, f, 0.02)
+    assert uv.min() >= 0 and uv.max() <= 1
+    assert idx.shape == f.shape

@@ -106,16 +106,22 @@ def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
     indices [F, 3]).
     """
     pad = max(island_padding, 1e-3)
+    # padding is per-island and does not shrink with scale: n islands can
+    # afford at most ~1/sqrt(n) of padding each or the shelves overflow
+    # the unit square no matter how small the islands get (noisy meshes
+    # can produce thousands of tiny components)
+    pad = max(min(pad, 0.7 / np.sqrt(max(len(islands), 1))), 1e-5)
     total_area = sum((w + 1e-6) * (h + 1e-6) for _, _, w, h in islands)
     scale = np.sqrt(0.82 / max(total_area, 1e-12))
 
-    for _ in range(24):
+    for _ in range(48):
         placements = _shelf_pack(
             [(w * scale, h * scale) for _, _, w, h in islands], pad
         )
         if placements is not None:
             break
         scale *= 0.92
+        pad = max(pad * 0.92, 1e-6)
     else:
         raise RuntimeError("uv packing failed")
 

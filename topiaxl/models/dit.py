@@ -219,9 +219,22 @@ class DiT(nn.Module):
 
     # ---- forward passes ---------------------------------------------------
 
+    def embed_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Token embedding (no patchify/pos-emb; reference
+        dit_crossattn.py:164-167). Variants override this — it is also the
+        stage-0 entry point of the pipeline-parallel path
+        (topiaxl/parallel/pipeline.py)."""
+        return self.x_embedder(x.astype(self.dtype))
+
+    def embed_t(self, t: jnp.ndarray) -> jnp.ndarray:
+        return self.t_embedder(t)
+
+    def apply_final(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
+        return self.final_layer(x, t_emb)
+
     def forward_kv(self, x: jnp.ndarray, t: jnp.ndarray, kvs) -> jnp.ndarray:
         """Denoise step against precomputed per-block K/V."""
-        x = self.x_embedder(x.astype(self.dtype))
+        x = self.embed_tokens(x)
         t_emb = self.t_embedder(t)
         for blk, kv in zip(self.blocks, kvs):
             x = blk(x, kv, t_emb)
@@ -286,11 +299,7 @@ class DiTAdditivePosEmb(DiT):
         super().setup()
         self.point_emb = PointEmbed(hidden_dim=48, dim=self.hidden_size)
 
-    def forward_kv(self, x, t, kvs):
+    def embed_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
         pts = x[:, :, 1:4].astype(jnp.float32)
-        h = (self.x_embedder(x.astype(self.dtype))
-             + self.point_emb(pts).astype(self.dtype))
-        t_emb = self.t_embedder(t)
-        for blk, kv in zip(self.blocks, kvs):
-            h = blk(h, kv, t_emb)
-        return self.final_layer(h, t_emb)
+        return (self.x_embedder(x.astype(self.dtype))
+                + self.point_emb(pts).astype(self.dtype))

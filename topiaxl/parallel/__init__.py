@@ -1,4 +1,11 @@
 from .mesh import make_mesh, mesh_from_config
+from .pipeline import (
+    make_pp_forward,
+    make_pp_train_step,
+    shard_pp_params,
+    stack_dit_params,
+    unstack_dit_params,
+)
 from .sharding import (
     batch_sharding,
     dit_param_rules,
@@ -13,4 +20,9 @@ __all__ = [
     "shard_params",
     "batch_sharding",
     "sequence_sharding",
+    "stack_dit_params",
+    "unstack_dit_params",
+    "shard_pp_params",
+    "make_pp_forward",
+    "make_pp_train_step",
 ]
