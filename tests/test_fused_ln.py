@@ -1,0 +1,57 @@
+"""Fused LN+modulate op: forward/backward parity with the unfused math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topiaxl.models.layers import LayerNormF32, modulate
+from topiaxl.ops.fused_ln import ln_modulate
+
+
+def _unfused(x, shift, scale, out_dtype):
+    y = LayerNormF32(out_dtype=out_dtype).apply({}, x)
+    return modulate(y, shift.astype(out_dtype), scale.astype(out_dtype))
+
+
+def test_ln_modulate_matches_unfused():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)) * 3 + 1, jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    sc = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    got = ln_modulate(x, sh, sc)
+    ref = _unfused(x, sh, sc, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ln_modulate_grads_match_unfused():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((2, 128)), jnp.float32)
+    sc = jnp.asarray(rng.standard_normal((2, 128)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 8, 128)), jnp.float32)
+
+    def f_fused(x, sh, sc):
+        return jnp.sum(ln_modulate(x, sh, sc) * w)
+
+    def f_ref(x, sh, sc):
+        return jnp.sum(_unfused(x, sh, sc, jnp.float32) * w)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(x, sh, sc)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, sh, sc)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_ln_modulate_bf16_stream():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 8, 128)), jnp.bfloat16)
+    sh = jnp.asarray(rng.standard_normal((1, 128)), jnp.bfloat16)
+    sc = jnp.asarray(rng.standard_normal((1, 128)), jnp.bfloat16)
+    out = ln_modulate(x, sh, sc)
+    assert out.dtype == jnp.bfloat16
+    ref = _unfused(x, sh, sc, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2)

@@ -25,13 +25,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.fused_ln import ln_modulate
 from .layers import (
     CrossAttention,
-    LayerNormF32,
     Mlp,
     SelfAttention,
     TimestepEmbedder,
-    modulate,
 )
 
 Dtype = Any
@@ -50,17 +49,14 @@ class DiTBlock(nn.Module):
     attn_backend: str = "auto"
 
     def setup(self):
-        self.norm1 = LayerNormF32(out_dtype=self.dtype)
         self.crossattn = CrossAttention(
             dim=self.hidden_size, num_heads=self.num_heads, qkv_bias=True,
             proj_bias=self.proj_bias, dtype=self.dtype, backend=self.attn_backend,
         )
-        self.norm2 = LayerNormF32(out_dtype=self.dtype)
         self.attn = SelfAttention(
             dim=self.hidden_size, num_heads=self.num_heads, qkv_bias=True,
             proj_bias=self.proj_bias, dtype=self.dtype, backend=self.attn_backend,
         )
-        self.norm3 = LayerNormF32(out_dtype=self.dtype)
         self.mlp = Mlp(
             hidden_features=int(self.hidden_size * self.mlp_ratio),
             out_features=self.hidden_size, dtype=self.dtype,
@@ -85,13 +81,14 @@ class DiTBlock(nn.Module):
         (s_mca, sc_mca, g_mca, s_msa, sc_msa, g_msa,
          s_mlp, sc_mlp, g_mlp) = jnp.split(mods, 9, axis=-1)
 
-        h = modulate(self.norm1(x), s_mca, sc_mca)
+        # LN+modulate fused into one HBM pass (ops/fused_ln.py)
+        h = ln_modulate(x, s_mca, sc_mca, out_dtype=self.dtype)
         x = x + g_mca[:, None, :] * self.crossattn.attend(h, *kv)
 
-        h = modulate(self.norm2(x), s_msa, sc_msa)
+        h = ln_modulate(x, s_msa, sc_msa, out_dtype=self.dtype)
         x = x + g_msa[:, None, :] * self.attn(h)
 
-        h = modulate(self.norm3(x), s_mlp, sc_mlp)
+        h = ln_modulate(x, s_mlp, sc_mlp, out_dtype=self.dtype)
         x = x + g_mlp[:, None, :] * self.mlp(h)
         return x
 
@@ -108,7 +105,6 @@ class FinalLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.norm_final = LayerNormF32(out_dtype=self.dtype)
         self.linear = nn.Dense(
             self.out_channels, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
@@ -122,7 +118,7 @@ class FinalLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, t_emb: jnp.ndarray) -> jnp.ndarray:
         shift, scale = jnp.split(
             self.adaLN(nn.silu(t_emb)).astype(self.dtype), 2, axis=-1)
-        x = modulate(self.norm_final(x), shift, scale)
+        x = ln_modulate(x, shift, scale, out_dtype=self.dtype)
         return self.linear(x).astype(jnp.float32)
 
 

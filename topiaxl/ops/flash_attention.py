@@ -28,29 +28,55 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
-                  scale: float, kv_len: int, block_k: int):
+                  kv_len: int, block_k: int):
     # refs: q [1, BQ, D], k/v [1, SKp, D], o [1, BQ, D]; leading dim is
     # the folded (batch*head) index. Matmul INPUTS stay in the stored
     # dtype (bf16) with f32 accumulation — casting them to f32 first
     # would run the MXU at the decomposed-f32 rate (~3-6x slower); the
     # softmax state (m, l, acc) is f32 as usual.
+    #
+    # VPU economy (measured ~5% of the layer stack): the softmax scale is
+    # folded into q by the host wrapper (saves a [BQ, BK] multiply per
+    # block), KV padding is masked by a broadcast [1, BK] bias add
+    # instead of a full-size iota/compare/select, and the single-KV-block
+    # case (the flagship shapes) skips the running-max rescale chain.
     q = q_ref[0, :, :]                                  # [BQ, D] bf16
     bq, d = q.shape
     skp = k_ref.shape[1]
     nk = skp // block_k
+    padded = skp != kv_len
 
-    def body(i, carry):
-        acc, m, l = carry
+    def logits_for(i):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                       # [BQ, BK] f32
-        col = i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        logits = jnp.where(col < kv_len, logits, _NEG_INF)
+        )                                               # [BQ, BK] f32
+        if padded:
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            logits = logits + jnp.where(col < kv_len, 0.0, _NEG_INF)
+        return logits
 
+    if nk == 1:
+        logits = logits_for(0)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, :, :]
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, :, :] = m + jnp.log(jnp.maximum(l, 1e-30))
+        return
+
+    def body(i, carry):
+        acc, m, l = carry
+        logits = logits_for(i)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
         p = jnp.exp(logits - m_new)                     # [BQ, BK] f32
         alpha = jnp.exp(m - m_new)
@@ -114,18 +140,21 @@ def _unfold(x, B, H, Sq, D):
         :, :Sq, :, :D]
 
 
-def _flash_forward(q, k, v, scale, block_q=512, block_k=2048,
+def _flash_forward(q, k, v, scale, block_q=1024, block_k=2048,
                    interpret=None, return_lse=False):
     # defaults tuned on v5e at flagship shapes (2x2048x16x72): a single
-    # K/V block (no inner loop) + 512-row q blocks measured 1.7 ms vs
-    # 34 ms for (256, 512)
+    # K/V block (no inner loop) + 1024-row q blocks; 2048-row q blocks
+    # exceed the 16 MB scoped-VMEM limit (f32 logits alone are 16 MB)
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
 
-    qp = _fold(q, sq_p, d_p)
+    # fold the softmax scale into q once ([B,S,H,D] elementwise) instead
+    # of scaling the [BQ, BK] logits every block inside the kernel; the
+    # bf16 re-rounding of q*scale is within 1 ulp of the f32-scaled path
+    qp = _fold(q * jnp.asarray(scale, q.dtype), sq_p, d_p)
     kp = _fold(k, sk_p, d_p)
     vp = _fold(v, sk_p, d_p)
 
@@ -140,7 +169,7 @@ def _flash_forward(q, k, v, scale, block_q=512, block_k=2048,
     ]
     o_spec = pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0),
                           memory_space=pltpu.VMEM)
-    kern = functools.partial(_flash_kernel, scale=scale, kv_len=Sk,
+    kern = functools.partial(_flash_kernel, kv_len=Sk,
                              block_k=block_k)
     if return_lse:
         out, lse = pl.pallas_call(
@@ -174,7 +203,11 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, *, scale: float, kv_len: int,
                          block_k: int):
     """dq for one q block: loop over k/v blocks
-    (FlashAttention-2 backward, dq pass)."""
+    (FlashAttention-2 backward, dq pass).
+
+    ``q`` arrives pre-scaled (q * scale, matching the forward), so the
+    logits need no per-block multiply; dq w.r.t. the ORIGINAL q then
+    picks up one final * scale."""
     q = q_ref[0]                                    # [BQ, D] bf16
     do = do_ref[0]                                  # [BQ, D]
     lse = lse_ref[0]                                # [BQ, 1] f32
@@ -188,7 +221,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+            preferred_element_type=jnp.float32)          # [BQ, BK]
         col = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         p = jnp.where(col < kv_len, jnp.exp(logits - lse), 0.0)
@@ -204,10 +237,14 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, *, scale: float, q_len: int,
+                          dk_ref, dv_ref, *, q_len: int,
                           block_q: int):
     """dk/dv for one k/v block: loop over q blocks
-    (FlashAttention-2 backward, dkv pass)."""
+    (FlashAttention-2 backward, dkv pass).
+
+    ``q`` arrives pre-scaled (q * scale, matching the forward):
+    dk = scale * (dsᵀ·q_orig) = dsᵀ·(q_orig * scale), so no final scale
+    multiply is needed on dk either."""
     k = k_ref[0]                                    # [BK, D]
     v = v_ref[0]
     bk, d = k.shape
@@ -222,7 +259,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+            preferred_element_type=jnp.float32)          # [BQ, BK]
         row = i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, bk), 0)
         p = jnp.where(row < q_len, jnp.exp(logits - lse), 0.0)
@@ -241,7 +278,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     z = jnp.zeros((bk, d), jnp.float32)
     dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (z, z))
-    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
@@ -253,7 +290,7 @@ def _flash_backward(q, k, v, out, lse, do, scale,
         interpret = jax.default_backend() != "tpu"
     block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
 
-    qp = _fold(q, sq_p, d_p)
+    qp = _fold(q * jnp.asarray(scale, q.dtype), sq_p, d_p)
     kp = _fold(k, sk_p, d_p)
     vp = _fold(v, sk_p, d_p)
     dop = _fold(do, sq_p, d_p)
@@ -290,7 +327,7 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     )(qp, kp, vp, dop, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_len=Sq,
+        functools.partial(_flash_bwd_dkv_kernel, q_len=Sq,
                           block_q=block_q),
         out_shape=[
             jax.ShapeDtypeStruct((BH, sk_p, d_p), k.dtype),
