@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from topiaxl.diffusion import create_diffusion, gaussian
 
@@ -27,6 +28,7 @@ def test_calc_bpd_loop_shapes_and_prior():
         np.asarray(out["vb"].sum(1) + out["prior_bpd"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_vgg19_structure_and_loss():
     import torch
 

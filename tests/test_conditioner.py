@@ -107,6 +107,7 @@ def _tiny_asset_batch(B=2, n=24, seed=0):
     return jnp.asarray(np.stack(srt)), jnp.asarray(np.stack(feat))
 
 
+@pytest.mark.slow
 def test_condition_from_primx_scale_and_batch():
     """The render->encode path (VERDICT r1 weak #4): encoder input must be
     in [0, 255], the batch path must equal a per-sample loop, and the

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from topiaxl.pipelines.fit import FitConfig, fit_primx, init_prims
 
@@ -25,6 +26,7 @@ def test_init_prims_coverage():
     assert covered.mean() > 0.9
 
 
+@pytest.mark.slow
 def test_fit_reduces_sdf_error():
     cfg = FitConfig(batch_points=512, lr=2e-2, shape_opt_steps=400,
                     tex_opt_steps=401, prim_shape=4)

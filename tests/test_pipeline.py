@@ -14,6 +14,7 @@ from topiaxl.models.primx import PrimXParams, local_grid
 from topiaxl.pipelines import infer
 
 
+@pytest.mark.slow
 def test_generate_primx_shapes():
     """Stage 1 on a tiny model: tokens -> PrimX params with right shapes."""
     n_prims, in_ch, cond_ch = 8, 12, 6  # latent 2^3=8 ch + 4 srt

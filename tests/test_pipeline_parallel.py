@@ -71,6 +71,7 @@ def test_pp_forward_matches_single_device(n_micro):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_dp_train_step_matches_single_device():
     """dp=2 x pp=4 pipelined train step == plain single-device step."""
     model, params = _model_and_params(depth=4)
