@@ -273,3 +273,31 @@ def test_sequence_parallel_train_step_matches_single_device():
     k1 = np.asarray(s1.params["params"]["x_embedder"]["kernel"])
     k2 = np.asarray(jax.device_get(s2.params["params"]["x_embedder"]["kernel"]))
     np.testing.assert_allclose(k1, k2, atol=2e-6)
+
+
+def test_grad_accum_matches_single_pass():
+    """grad_accum=2 reproduces the single-pass step exactly: noise and
+    cond-drop are drawn over the full batch before microbatching, so
+    only f32 reduction order differs."""
+    model, diffusion, params = _tiny_setup()
+    opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+    rng = np.random.default_rng(5)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((4, 8, 4)), jnp.float32),
+        "y": jnp.asarray(rng.standard_normal((4, 3, 6)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    s1, m1 = jit_train_step(make_train_step(model, diffusion, opt))(
+        create_train_state(params, opt), batch, key)
+    s2, m2 = jit_train_step(make_train_step(model, diffusion, opt,
+                                            grad_accum=2))(
+        create_train_state(params, opt), batch, key)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m2["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-4)
+    a = s1.params["params"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    b = s2.params["params"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -122,6 +122,7 @@ def main(argv=None):
             dit, diffusion, optimizer,
             ema_decay=float(cfg.train.get("ema_decay", 0.9999)),
             timestep_sampler=cfg.train.get("timestep_sampler", "uniform"),
+            grad_accum=int(cfg.train.get("grad_accum", 1)),
         ))
 
         meter = StepMeter()

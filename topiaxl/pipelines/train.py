@@ -83,10 +83,18 @@ def make_train_step(
     optimizer,
     ema_decay: float = 0.9999,
     timestep_sampler: str = "uniform",
+    grad_accum: int = 1,
 ):
     """Returns train_step(state, batch, key) -> (state, metrics).
 
     batch: {'x': [B, N, C] clean latent tokens, 'y': [B, M, Cc] cond tokens}.
+
+    ``grad_accum=k`` splits the batch into k microbatches scanned
+    sequentially with gradient accumulation — the activation memory of a
+    B/k batch at the effective batch size B. Noise and cond-drop are
+    drawn over the FULL batch before microbatching, so the accumulated
+    step reproduces the single-pass numerics exactly (up to f32
+    reduction order); tested in tests/test_train.py.
     """
 
     def loss_fn(params, x, y, t, weights, key):
@@ -101,6 +109,53 @@ def make_train_step(
         loss = jnp.mean(terms["loss_total"] * weights)
         return loss, terms
 
+    def micro_loss_fn(params, x, y, t, weights, noise):
+        """Chunk loss with pre-drawn noise and pre-dropped conditioning."""
+
+        def model_fn(x_t, t_orig):
+            return model.apply(params, x_t, t_orig, y)
+
+        terms = gaussian.training_losses(
+            diffusion, model_fn, x, t, None, noise=noise
+        )
+        loss = jnp.mean(terms["loss_total"] * weights)
+        return loss, terms
+
+    def accum_grads(params, batch, t, weights, loss_key):
+        drop_key, noise_key = jax.random.split(loss_key)
+        x, y = batch["x"], batch["y"]
+        B = x.shape[0]
+        if B % grad_accum:
+            raise ValueError(f"batch {B} not divisible by "
+                             f"grad_accum={grad_accum}")
+        # full-batch draws (identical values to the single-pass path)
+        if model.cond_drop_prob > 0:
+            drop = (jax.random.uniform(drop_key, (B,))
+                    < model.cond_drop_prob)
+            null = params["params"]["null_cond_embedding"][None, None, :]
+            y = jnp.where(drop[:, None, None], null, y)
+        noise = jax.random.normal(noise_key, x.shape, x.dtype)
+
+        def mb(a):
+            return a.reshape(grad_accum, B // grad_accum, *a.shape[1:])
+
+        stacked = jax.tree.map(mb, (x, y, t, weights, noise))
+
+        def body(carry, chunk):
+            g_acc, l_acc = carry
+            xs, ys, ts, ws, ns = chunk
+            (loss, terms), grads = jax.value_and_grad(
+                micro_loss_fn, has_aux=True)(params, xs, ys, ts, ws, ns)
+            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            return (g_acc, l_acc + loss), terms
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        (g_sum, l_sum), terms = jax.lax.scan(body, (g0, 0.0), stacked)
+        grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+        # per-element terms back to [B] order for the LSM sampler
+        terms = jax.tree.map(lambda a: a.reshape(B, *a.shape[2:]), terms)
+        return (l_sum / grad_accum, terms), grads
+
     def train_step(state: TrainState, batch, key):
         t_key, loss_key = jax.random.split(jax.random.fold_in(key, state.step))
         B = batch["x"].shape[0]
@@ -109,9 +164,13 @@ def make_train_step(
         else:
             t, weights = uniform_sample(diffusion.num_timesteps, B, t_key)
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch["x"], batch["y"], t, weights, loss_key
-        )
+        if grad_accum > 1:
+            (loss, terms), grads = accum_grads(
+                state.params, batch, t, weights, loss_key)
+        else:
+            (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch["x"], batch["y"], t, weights, loss_key
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
