@@ -308,12 +308,24 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_backward(q, k, v, out, lse, do, scale,
-                    block_q=512, block_k=512, interpret=None):
+                    block_q=512, block_k=2048, dkv_block_q=256,
+                    interpret=None):
+    # blocks tuned on v5e at flagship shapes: a single K/V block in the
+    # dq pass ((512, 2048) measured 30.8/22.7 ms for the self/cross
+    # fwd+bwd 28-layer stacks vs 32.9/25.8 ms at (512, 512)). The dkv
+    # pass uses its own smaller q block: its f32 intermediates are
+    # [dkv_block_q, block_k], and at (512, 2048) the kernel's scoped
+    # VMEM hits 16.45M > the 16M limit once XLA stages the operands in
+    # VMEM (observed in the donated train step); 256 rows keeps the
+    # stack ~10M with no measurable slowdown (the pass is MXU-bound).
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
+    dkv_block_q = min(dkv_block_q, sq_p)
+    if sq_p % dkv_block_q:
+        dkv_block_q = block_q  # _fold_sizes guarantees this divides sq_p
 
     qp = _fold(q * jnp.asarray(scale, q.dtype), sq_p, d_p)
     kp = _fold(k, sk_p, d_p)
@@ -353,7 +365,7 @@ def _flash_backward(q, k, v, out, lse, do, scale,
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, q_len=Sq,
-                          block_q=block_q),
+                          block_q=dkv_block_q),
         out_shape=[
             jax.ShapeDtypeStruct((BH, sk_p, d_p), k.dtype),
             jax.ShapeDtypeStruct((BH, sk_p, d_p), v.dtype),
