@@ -301,3 +301,61 @@ def test_grad_accum_matches_single_pass():
     a = s1.params["params"]["blocks_0"]["mlp"]["fc1"]["kernel"]
     b = s2.params["params"]["blocks_0"]["mlp"]["fc1"]["kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hybrid_mesh_train_step_matches_single_device():
+    """Multi-slice layout: dp over DCN x (fsdp, tp) over ICI. On the CPU
+    test platform (no slice_index) placement falls back to slice-major
+    device order; the numerics contract is the same as any mesh."""
+    from topiaxl.parallel import (
+        batch_sharding, dit_param_rules, make_hybrid_mesh, shard_params,
+    )
+
+    mesh = make_hybrid_mesh({"fsdp": 2, "tp": 2}, {"dp": 2})
+    assert mesh.axis_names == ("dp", "fsdp", "tp")  # dcn outermost
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 2, "tp": 2}
+
+    model = DiT(seq_length=8, in_channels=4, condition_channels=8,
+                hidden_size=32, depth=1, num_heads=4, cond_drop_prob=0.1,
+                dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=20)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 8)))
+    opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+    train_step = make_train_step(model, diffusion, opt)
+    batch = {
+        "x": jnp.asarray(np.random.default_rng(0).standard_normal((4, 8, 4)),
+                         jnp.float32),
+        "y": jnp.asarray(np.random.default_rng(1).standard_normal((4, 3, 8)),
+                         jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+    s1, m1 = jax.jit(train_step)(create_train_state(params, opt), batch, key)
+
+    rules = dit_param_rules()
+    with mesh:
+        state2 = create_train_state(params, opt)
+        state2 = state2._replace(
+            params=shard_params(state2.params, mesh, rules),
+            ema_params=shard_params(state2.ema_params, mesh, rules),
+        )
+        batch2 = jax.tree.map(
+            lambda a: jax.device_put(a, batch_sharding(mesh, "dp")), batch)
+        s2, m2 = jax.jit(train_step)(state2, batch2, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    k1 = np.asarray(s1.params["params"]["x_embedder"]["kernel"])
+    k2 = np.asarray(jax.device_get(s2.params["params"]["x_embedder"]["kernel"]))
+    np.testing.assert_allclose(k1, k2, atol=2e-6)
+
+
+def test_hybrid_mesh_validation():
+    from topiaxl.parallel import make_hybrid_mesh
+
+    with pytest.raises(ValueError, match="both ici and dcn"):
+        make_hybrid_mesh({"dp": 2}, {"dp": 2})
+    with pytest.raises(ValueError, match="devices"):
+        make_hybrid_mesh({"tp": 8}, {"dp": 4})

@@ -1,4 +1,4 @@
-from .mesh import make_mesh, mesh_from_config
+from .mesh import make_hybrid_mesh, make_mesh, mesh_from_config
 from .pipeline import (
     make_pp_forward,
     make_pp_train_step,
@@ -15,6 +15,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
     "mesh_from_config",
     "dit_param_rules",
     "shard_params",
