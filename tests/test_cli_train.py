@@ -67,3 +67,43 @@ def test_train_cli_smoke_and_resume(tmp_path):
     main([str(cfg2)])
     rows2 = [json.loads(l) for l in open(mpath)]
     assert rows2[-1]["step"] >= 6
+
+
+@pytest.mark.slow
+def test_train_cli_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run -> in-flight step finishes, checkpoint saved,
+    clean exit (preemption-safe training)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfg = _train_config(tmp_path, max_steps=100000)
+    # long run; ckpt_every high so only the preemption save happens
+    text = cfg.read_text().replace("ckpt_every_n_steps: 2",
+                                   "ckpt_every_n_steps: 99999")
+    cfg.write_text(text)
+    # the env's sitecustomize registers the real-TPU platform; the child
+    # must pin CPU the same way conftest does for the parent
+    code = (
+        "import sys; import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from topiaxl.cli.train import main\n"
+        f"sys.exit(main([{str(cfg)!r}]) or 0)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    mpath = tmp_path / "out" / "train" / "metrics.jsonl"
+    deadline = time.time() + 180
+    while time.time() < deadline and not mpath.exists():
+        time.sleep(1.0)
+        if proc.poll() is not None:
+            break
+    assert proc.poll() is None, proc.communicate()[0].decode()[-2000:]
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, out.decode()[-2000:]
+    ckpt_dir = tmp_path / "out" / "train" / "ckpts"
+    assert ckpt_dir.exists() and any(ckpt_dir.iterdir()), out.decode()[-2000:]

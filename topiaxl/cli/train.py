@@ -131,18 +131,37 @@ def main(argv=None):
         max_steps = int(cfg.train.get("max_steps", cfg.scheduler.max_iters))
         ckpt_every = int(cfg.train.ckpt_every_n_steps)
 
-        for batch in batches:
-            state, metrics = step_fn(state, batch, key)
-            step = int(state.step)
-            meter.tick()
-            if step % int(cfg.train.log_every_n_steps) == 0:
-                metrics = {k: float(v) for k, v in metrics.items()}
-                metrics["steps_per_sec"] = meter.steps_per_sec
-                mlog.log(step, metrics)
-            if step % ckpt_every == 0:
-                ckpt.save(step, jax.device_get(state))
-            if step >= max_steps:
-                break
+        # preemption safety: TPU VMs get SIGTERM before eviction; finish
+        # the in-flight step, checkpoint, and exit cleanly so the next
+        # incarnation resumes from it (the resume path above)
+        import signal
+
+        preempted = []
+        prev_handlers = {
+            s: signal.signal(s, lambda sig, frame: preempted.append(sig))
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+        try:
+            for batch in batches:
+                state, metrics = step_fn(state, batch, key)
+                step = int(state.step)
+                meter.tick()
+                if step % int(cfg.train.log_every_n_steps) == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["steps_per_sec"] = meter.steps_per_sec
+                    mlog.log(step, metrics)
+                if step % ckpt_every == 0:
+                    ckpt.save(step, jax.device_get(state))
+                if preempted:
+                    logger.warning(
+                        "signal %s: checkpointing at step %d and exiting",
+                        preempted[0], step)
+                    break
+                if step >= max_steps:
+                    break
+        finally:
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
 
         ckpt.save(int(state.step), jax.device_get(state))
         ckpt.wait()
