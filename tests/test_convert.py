@@ -220,3 +220,78 @@ def test_convert_dinov2_structure_matches_model():
     sd = _rand_sd(shapes)
     conv = convert.convert_dinov2(sd, depth=2)
     assert _tree_paths(conv) == _tree_paths(jax.tree.map(np.asarray, ref))
+
+
+def test_convert_cli_native_roundtrip(tmp_path):
+    """cli.convert writes orbax trees that load_native restores
+    bit-identically to the in-memory conversion."""
+    import textwrap
+
+    from topiaxl.cli.convert import convert_all, load_native
+    from topiaxl.core import load_config
+
+    depth, hidden, cond, inc = 1, 16, 6, 4
+    shapes = {
+        "x_embedder.weight": (hidden, inc), "x_embedder.bias": (hidden,),
+        "t_embedder.mlp.0.weight": (hidden, 256),
+        "t_embedder.mlp.0.bias": (hidden,),
+        "t_embedder.mlp.2.weight": (hidden, hidden),
+        "t_embedder.mlp.2.bias": (hidden,),
+        "null_cond_embedding": (cond,),
+        "final_layer.adaLN_modulation.1.weight": (2 * hidden, hidden),
+        "final_layer.adaLN_modulation.1.bias": (2 * hidden,),
+        "final_layer.linear.weight": (2 * inc, hidden),
+        "final_layer.linear.bias": (2 * inc,),
+        "blocks.0.adaLN_modulation.1.weight": (9 * hidden, hidden),
+        "blocks.0.adaLN_modulation.1.bias": (9 * hidden,),
+        "blocks.0.crossattn.to_q.weight": (hidden, hidden),
+        "blocks.0.crossattn.to_q.bias": (hidden,),
+        "blocks.0.crossattn.to_k.weight": (hidden, cond),
+        "blocks.0.crossattn.to_k.bias": (hidden,),
+        "blocks.0.crossattn.to_v.weight": (hidden, cond),
+        "blocks.0.crossattn.to_v.bias": (hidden,),
+        "blocks.0.crossattn.proj.weight": (hidden, hidden),
+        "blocks.0.crossattn.proj.bias": (hidden,),
+        "blocks.0.attn.qkv.weight": (3 * hidden, hidden),
+        "blocks.0.attn.qkv.bias": (3 * hidden,),
+        "blocks.0.attn.proj.weight": (hidden, hidden),
+        "blocks.0.attn.proj.bias": (hidden,),
+        "blocks.0.mlp.fc1.weight": (4 * hidden, hidden),
+        "blocks.0.mlp.fc1.bias": (4 * hidden,),
+        "blocks.0.mlp.fc2.weight": (hidden, 4 * hidden),
+        "blocks.0.mlp.fc2.bias": (hidden,),
+    }
+    sd = _rand_sd(shapes)
+    ckpt = tmp_path / "dit.pt"
+    torch.save({"ema": sd}, ckpt)
+
+    cfgf = tmp_path / "c.yml"
+    cfgf.write_text(textwrap.dedent(f"""
+        output_dir: {tmp_path}/out
+        checkpoint_path: {ckpt}
+        model:
+          generator: {{ depth: {depth} }}
+          conditioner: {{}}
+    """))
+    cfg = load_config(str(cfgf))
+    out = str(tmp_path / "native")
+    written = convert_all(cfg, out)
+    assert set(written) == {"dit"}
+
+    restored = load_native(out, "dit")
+    expect = convert.convert_dit(sd, depth=depth)
+    flat_r = {p: v for p, v in _tree_paths_vals(restored)}
+    flat_e = {p: v for p, v in _tree_paths_vals(expect)}
+    assert set(flat_r) == set(flat_e)
+    for p in flat_e:
+        np.testing.assert_array_equal(np.asarray(flat_r[p]),
+                                      np.asarray(flat_e[p]))
+    assert load_native(out, "vae") is None
+
+
+def _tree_paths_vals(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_paths_vals(v, f"{prefix}{k}.")
+    else:
+        yield prefix[:-1], tree

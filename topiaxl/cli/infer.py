@@ -85,6 +85,27 @@ def load_model_params(cfg, dit, vae, conditioner, key):
         convert_dinov2, convert_dit, convert_vae, load_torch_checkpoint,
     )
 
+    native_dir = cfg.model.get("native_checkpoint_dir")
+    if native_dir:
+        # pre-converted orbax trees (cli/convert.py) — skips the torch
+        # load + key-mapping pass on every start
+        from topiaxl.cli.convert import load_native
+
+        dit_params = load_native(native_dir, "dit")
+        vae_params = load_native(native_dir, "vae")
+        dv2 = load_native(native_dir, "dinov2")
+        if dv2 is not None:
+            conditioner.encoder.params = jax.tree.map(jnp.asarray, dv2)
+        elif hasattr(conditioner, "encoder") and hasattr(
+                conditioner.encoder, "init_params"):
+            conditioner.encoder.init_params(key)
+        if dit_params is not None and vae_params is not None:
+            logger.info("loaded native checkpoints from %s", native_dir)
+            return (jax.tree.map(jnp.asarray, dit_params),
+                    jax.tree.map(jnp.asarray, vae_params))
+        logger.warning("native_checkpoint_dir %s incomplete; falling back",
+                       native_dir)
+
     if cfg.get("checkpoint_path"):
         sd = load_torch_checkpoint(cfg.checkpoint_path, key="ema")
         dit_params = jax.tree.map(jnp.asarray, convert_dit(sd, dit.depth))
