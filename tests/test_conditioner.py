@@ -15,6 +15,7 @@ def test_dinov2_config_table():
                        num_register_tokens=4)
 
 
+@pytest.mark.slow
 def test_dino_vit_token_shapes_small():
     # small ViT, 28x28 at patch 7 => 16 patches (+cls +regs)
     model = DinoViT(embed_dim=32, depth=2, num_heads=4, patch_size=7,

@@ -48,6 +48,7 @@ def test_generate_primx_shapes():
     assert np.isfinite(np.asarray(params.feat)).all()
 
 
+@pytest.mark.slow
 def test_generate_primx_batched_and_sharded():
     """B=2 batch path + dp-mesh sharded inference."""
     from topiaxl.parallel import make_mesh

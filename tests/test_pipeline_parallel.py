@@ -56,6 +56,7 @@ def test_stack_unstack_roundtrip():
     assert leaf.shape[0] == model.depth
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_micro", [1, 2, 4])
 def test_pp_forward_matches_single_device(n_micro):
     model, params = _model_and_params(depth=4)

@@ -172,6 +172,7 @@ def test_orbit_camera_looks_at_origin():
         assert float(center_dir @ to_origin) > 0.999
 
 
+@pytest.mark.slow
 def test_raymarch_prim_rotation_srt():
     """Full SRT support (VERDICT r1 missing #6, primtransf.h:69-180):
     (a) a radially-symmetric payload renders identically under any prim
