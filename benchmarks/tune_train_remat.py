@@ -57,10 +57,16 @@ def run(remat, batch=2, steps=5, label=""):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     if which in ("all", "none"):
         try:
-            run(False, label="remat=False")
+            run(False, batch=batch, label=f"remat=False B={batch}")
         except Exception as e:
             print("remat=False failed:", repr(e)[:300])
     if which in ("all", "full"):
-        run(True, label="remat=True (full block)")
+        run(True, batch=batch, label=f"remat=True B={batch}")
+    if which in ("all", "dots"):
+        try:
+            run("dots", batch=batch, label=f"remat='dots' B={batch}")
+        except Exception as e:
+            print("remat='dots' failed:", repr(e)[:300])

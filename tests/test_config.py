@@ -57,3 +57,19 @@ def test_attrdict_dotted():
     assert d.select("a.b.c") == 1
     d.set_dotted("a.b.d", 7)
     assert d.a.b.d == 7
+
+
+def test_registry_multiview_conditioner():
+    """Reference class_name models.conditioner.image.ImageMultiViewConditioner
+    resolves (reference image.py:155)."""
+    import topiaxl.registry  # noqa: F401
+    from topiaxl.core import build
+    from topiaxl.core.attrdict import AttrDict
+
+    c = build(AttrDict({
+        "class_name": "models.conditioner.image.ImageMultiViewConditioner",
+        "num_prims": 4, "prim_shape": 2, "view_counts": 3,
+        "encoder_config": {"class_name": "topiaxl.DummyImageConditioner"},
+    }))
+    assert type(c).__name__ == "ImageMultiViewConditioner"
+    assert c.view_counts == 3

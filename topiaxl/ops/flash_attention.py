@@ -309,15 +309,17 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_backward(q, k, v, out, lse, do, scale,
                     block_q=512, block_k=2048, dkv_block_q=256,
-                    interpret=None):
+                    dkv_block_k=1024, interpret=None):
     # blocks tuned on v5e at flagship shapes: a single K/V block in the
     # dq pass ((512, 2048) measured 30.8/22.7 ms for the self/cross
     # fwd+bwd 28-layer stacks vs 32.9/25.8 ms at (512, 512)). The dkv
-    # pass uses its own smaller q block: its f32 intermediates are
-    # [dkv_block_q, block_k], and at (512, 2048) the kernel's scoped
-    # VMEM hits 16.45M > the 16M limit once XLA stages the operands in
-    # VMEM (observed in the donated train step); 256 rows keeps the
-    # stack ~10M with no measurable slowdown (the pass is MXU-bound).
+    # pass has its own, smaller blocks: its f32 intermediates are
+    # [dkv_block_q, dkv_block_k] and its accumulator carries
+    # 2x[dkv_block_k, d]f32 — at (512, 2048) the kernel's scoped VMEM
+    # stack hits 16.45M (B=2) / 17.30M (B=8) against the 16M limit once
+    # XLA stages operands in VMEM (observed in the donated train step);
+    # (256, 1024) keeps the stack ~7M with no measurable slowdown (the
+    # pass is MXU-bound).
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if interpret is None:
@@ -326,6 +328,9 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     dkv_block_q = min(dkv_block_q, sq_p)
     if sq_p % dkv_block_q:
         dkv_block_q = block_q  # _fold_sizes guarantees this divides sq_p
+    dkv_block_k = min(dkv_block_k, sk_p)
+    if sk_p % dkv_block_k:
+        dkv_block_k = block_k  # _fold_sizes guarantees this divides sk_p
 
     qp = _fold(q * jnp.asarray(scale, q.dtype), sq_p, d_p)
     kp = _fold(k, sk_p, d_p)
@@ -370,13 +375,13 @@ def _flash_backward(q, k, v, out, lse, do, scale,
             jax.ShapeDtypeStruct((BH, sk_p, d_p), k.dtype),
             jax.ShapeDtypeStruct((BH, sk_p, d_p), v.dtype),
         ],
-        grid=(BH, sk_p // block_k),
+        grid=(BH, sk_p // dkv_block_k),
         in_specs=[
             pl.BlockSpec((1, sq_p, d_p), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+            pl.BlockSpec((1, dkv_block_k, d_p), lambda bh, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+            pl.BlockSpec((1, dkv_block_k, d_p), lambda bh, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq_p, d_p), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -386,9 +391,9 @@ def _flash_backward(q, k, v, out, lse, do, scale,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+            pl.BlockSpec((1, dkv_block_k, d_p), lambda bh, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_p), lambda bh, j: (bh, j, 0),
+            pl.BlockSpec((1, dkv_block_k, d_p), lambda bh, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,

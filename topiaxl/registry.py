@@ -98,6 +98,23 @@ def make_image_conditioner(**kw):
     )
 
 
+@register("topiaxl.ImageMultiViewConditioner",
+          "models.conditioner.image.ImageMultiViewConditioner")
+def make_image_multiview_conditioner(**kw):
+    from .models.conditioner.image import ImageMultiViewConditioner
+
+    enc_cfg = kw.get("encoder_config")
+    encoder = build(enc_cfg) if enc_cfg else DinoV2Wrapper()
+    return ImageMultiViewConditioner(
+        encoder=encoder,
+        num_prims=kw.get("num_prims", 2048),
+        dim_feat=kw.get("dim_feat", 6),
+        prim_shape=kw.get("prim_shape", 8),
+        sample_view=kw.get("sample_view", False),
+        view_counts=kw.get("view_counts", 4),
+    )
+
+
 @register("topiaxl.DummyImageConditioner",
           "models.conditioner.image.DummyImageConditioner")
 def make_dummy_conditioner(**kw):
