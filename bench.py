@@ -159,6 +159,11 @@ def bench_e2e_seconds():
 
 
 def main():
+    # Progressive output: the accumulated JSON line is (re)printed after
+    # every section, so if the harness kills a long run mid-section the
+    # LAST complete line still carries everything measured so far. The
+    # full run is ~40 min through the tunnel (the train-step and int8
+    # remote compiles dominate); sections are ordered headline-first.
     steps_per_sec = bench_dit_steps()
     result = {
         "metric": "dit_denoise_steps_per_sec",
@@ -166,6 +171,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
     }
+    print(json.dumps(result), flush=True)
     if os.environ.get("TOPIAXL_BENCH_FAST") != "1":
         try:
             s1, s2 = bench_e2e_seconds()
@@ -180,11 +186,27 @@ def main():
             result.update(bench_fidelity())
         except Exception as e:
             result["fidelity_error"] = repr(e)[:200]
+        print(json.dumps(result), flush=True)
+        try:
+            result["dit_denoise_steps_per_sec_int8"] = round(
+                bench_dit_steps_int8(), 3)
+        except Exception as e:
+            result["int8_error"] = repr(e)[:200]
+        print(json.dumps(result), flush=True)
         try:
             result["train_steps_per_sec"] = round(bench_train_steps(), 3)
         except Exception as e:
             result["train_error"] = repr(e)[:200]
     print(json.dumps(result))
+
+
+def bench_dit_steps_int8() -> float:
+    """W8A8 serving path (ops/int8.py): block matmuls on the int8 MXU.
+    Measured +18% over bf16 (25.0 vs 21.2 steps/s on v5e)."""
+    import importlib
+
+    mod = importlib.import_module("benchmarks.bench_int8_dit")
+    return mod.run(True, "int8")
 
 
 def bench_train_steps(batch: int = 2, steps: int = 5) -> float:

@@ -205,3 +205,25 @@ def test_app_staged_pipeline(tmp_path):
     # re-export with different knobs, no re-sample
     glb2 = app.export(mc_resolution=48, decimate=3000, texture_size=128)
     assert os.path.getsize(glb2) != size1
+
+@pytest.mark.slow
+def test_cli_infer_tiny_e2e_int8(tmp_path):
+    """Same tiny pipeline with the int8 serving path
+    (model.generator.quant=true): stage 1 runs the quantized DiT."""
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir, exist_ok=True)
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.circle(img, (32, 32), 20, (200, 180, 160), -1)
+    cv2.imwrite(str(img_dir / "blob.png"), img)
+    cfg = _tiny_config(tmp_path)
+
+    from topiaxl.cli.infer import main
+
+    main([str(cfg), "model.generator.quant=true",
+          "inference.export_glb=false"])
+    out_dir = tmp_path / "runs" / "tiny" / "inference_folder" / "blob"
+    assert os.path.exists(out_dir / "denoised.npz")
+    data = np.load(out_dir / "denoised.npz")
+    assert np.isfinite(data["feat"]).all()

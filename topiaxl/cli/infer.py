@@ -85,6 +85,19 @@ def load_model_params(cfg, dit, vae, conditioner, key):
         convert_dinov2, convert_dit, convert_vae, load_torch_checkpoint,
     )
 
+    def _maybe_quantize(params):
+        """Float DiT weights -> int8 form when the generator is built
+        with quant=True (model.generator.quant in the YAML)."""
+        if not getattr(dit, "quant", False):
+            return params
+        blk = params["params"].get("blocks_0", {})
+        if "kernel_q" in blk.get("attn", {}).get("qkv", {}):
+            return params  # already quantized (e.g. random init)
+        from topiaxl.models import quantize_dit_params
+
+        logger.info("quantizing DiT weights for int8 serving")
+        return quantize_dit_params(dit, params)
+
     native_dir = cfg.model.get("native_checkpoint_dir")
     if native_dir:
         # pre-converted orbax trees (cli/convert.py) — skips the torch
@@ -101,14 +114,15 @@ def load_model_params(cfg, dit, vae, conditioner, key):
             conditioner.encoder.init_params(key)
         if dit_params is not None and vae_params is not None:
             logger.info("loaded native checkpoints from %s", native_dir)
-            return (jax.tree.map(jnp.asarray, dit_params),
+            return (_maybe_quantize(jax.tree.map(jnp.asarray, dit_params)),
                     jax.tree.map(jnp.asarray, vae_params))
         logger.warning("native_checkpoint_dir %s incomplete; falling back",
                        native_dir)
 
     if cfg.get("checkpoint_path"):
         sd = load_torch_checkpoint(cfg.checkpoint_path, key="ema")
-        dit_params = jax.tree.map(jnp.asarray, convert_dit(sd, dit.depth))
+        dit_params = _maybe_quantize(
+            jax.tree.map(jnp.asarray, convert_dit(sd, dit.depth)))
         logger.info("loaded DiT EMA weights from %s", cfg.checkpoint_path)
     else:
         logger.warning("no checkpoint_path: DiT runs with random init")

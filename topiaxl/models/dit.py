@@ -47,19 +47,22 @@ class DiTBlock(nn.Module):
     proj_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     attn_backend: str = "auto"
+    quant: bool = False
 
     def setup(self):
         self.crossattn = CrossAttention(
             dim=self.hidden_size, num_heads=self.num_heads, qkv_bias=True,
             proj_bias=self.proj_bias, dtype=self.dtype, backend=self.attn_backend,
+            quant=self.quant,
         )
         self.attn = SelfAttention(
             dim=self.hidden_size, num_heads=self.num_heads, qkv_bias=True,
             proj_bias=self.proj_bias, dtype=self.dtype, backend=self.attn_backend,
+            quant=self.quant,
         )
         self.mlp = Mlp(
             hidden_features=int(self.hidden_size * self.mlp_ratio),
-            out_features=self.hidden_size, dtype=self.dtype,
+            out_features=self.hidden_size, dtype=self.dtype, quant=self.quant,
         )
         # zero-init so each block starts as identity (dit_crossattn.py:173-176)
         self.adaLN = nn.Dense(
@@ -160,7 +163,19 @@ class DiT(nn.Module):
     learn_sigma: bool = True
     dtype: Dtype = jnp.bfloat16
     attn_backend: str = "auto"
-    remat: bool = False  # rematerialize blocks for training memory
+    # Block rematerialization for training memory:
+    #   False  — save all activations (fastest; fits B<=2/chip flagship)
+    #   True   — recompute the whole block in the backward (+~33% FLOPs;
+    #            needed at the reference recipe's bs 8/device)
+    #   "dots" — save matmul outputs, recompute only elementwise ops
+    #            (checkpoint_policies.dots_with_no_batch_dims_saveable):
+    #            near remat=False speed at a fraction of the memory
+    remat: bool | str = False
+    # int8 (W8A8) serving path: per-step block matmuls run on the int8
+    # MXU (2x the bf16 rate on v5e). Params are the quantized form —
+    # produce them from float weights with quantize_dit_params.
+    # Inference-only (the int8 rounding has no useful gradient).
+    quant: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -173,7 +188,12 @@ class DiT(nn.Module):
         )
         self.t_embedder = TimestepEmbedder(self.hidden_size)
         block = DiTBlock
-        if self.remat:
+        if self.remat == "dots":
+            block = nn.remat(
+                DiTBlock, static_argnums=(),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat:
             block = nn.remat(DiTBlock, static_argnums=())
         self.blocks = [
             block(
@@ -184,6 +204,7 @@ class DiT(nn.Module):
                 proj_bias=self.attn_proj_bias,
                 dtype=self.dtype,
                 attn_backend=self.attn_backend,
+                quant=self.quant,
             )
             for _ in range(self.depth)
         ]
@@ -284,6 +305,21 @@ class DiT(nn.Module):
         out = self.forward_kv(combined, combined_t, kvs_pair)
         cond, uncond = jnp.split(out, 2, axis=0)
         return uncond + cfg_scale * (cond - uncond)
+
+
+def quantize_dit_params(model: "DiT", params):
+    """Float DiT params -> the param tree of the same model with
+    ``quant=True`` (block matmul kernels as int8 + per-channel scales;
+    everything else passed through). Use with ``model.clone(quant=True)``
+    or a fresh ``DiT(..., quant=True)``."""
+    from ..ops.int8 import quantize_params_like
+
+    qmodel = model.clone(quant=True) if not model.quant else model
+    x = jnp.zeros((1, qmodel.seq_length, qmodel.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1, 2, qmodel.condition_channels))
+    template = jax.eval_shape(qmodel.init, jax.random.PRNGKey(0), x, t, y)
+    return quantize_params_like(params, template)
 
 
 class DiTAdditivePosEmb(DiT):

@@ -17,8 +17,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
+from ..ops.int8 import QuantDense
 
 Dtype = Any
+
+
+def _dense(quant: bool):
+    """The matmul layer class: W8A8 QuantDense when serving int8."""
+    return QuantDense if quant else nn.Dense
 
 
 def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
@@ -67,14 +73,16 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     dtype: Dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1",
-                     kernel_init=nn.initializers.xavier_uniform())(x)
+        dense = _dense(self.quant)
+        x = dense(self.hidden_features, dtype=self.dtype, name="fc1",
+                  kernel_init=nn.initializers.xavier_uniform())(x)
         x = nn.gelu(x, approximate=True)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2",
-                     kernel_init=nn.initializers.xavier_uniform())(x)
+        x = dense(self.out_features, dtype=self.dtype, name="fc2",
+                  kernel_init=nn.initializers.xavier_uniform())(x)
         return x
 
 
@@ -87,20 +95,22 @@ class SelfAttention(nn.Module):
     proj_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     backend: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, _ = x.shape
+        dense = _dense(self.quant)
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv", kernel_init=nn.initializers.xavier_uniform())(x)
+        qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="qkv", kernel_init=nn.initializers.xavier_uniform())(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = multi_head_attention(q, k, v, scale=head_dim**-0.5,
                                    backend=self.backend)
         out = out.reshape(B, N, self.dim)
-        return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
-                        name="proj", kernel_init=nn.initializers.xavier_uniform())(out)
+        return dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+                     name="proj", kernel_init=nn.initializers.xavier_uniform())(out)
 
 
 class CrossAttention(nn.Module):
@@ -119,17 +129,22 @@ class CrossAttention(nn.Module):
     proj_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     backend: str = "auto"
+    quant: bool = False
 
     def setup(self):
         init = nn.initializers.xavier_uniform()
-        self.to_q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                             kernel_init=init)
+        # per-step matmuls (to_q, proj) take the int8 path; to_k/to_v run
+        # ONCE per asset (precomputed K/V) so they stay float — no perf
+        # win, no quality cost
+        dense = _dense(self.quant)
+        self.to_q = dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                          kernel_init=init)
         self.to_k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                              kernel_init=init)
         self.to_v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                              kernel_init=init)
-        self.proj = nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
-                             kernel_init=init)
+        self.proj = dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+                          kernel_init=init)
 
     def kv(self, ctx: jnp.ndarray):
         """Project the conditioning sequence to per-head K/V.

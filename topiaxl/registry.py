@@ -37,7 +37,9 @@ def make_dit(**kw):
         learn_sigma=kw.get("learn_sigma", True),
         dtype=jnp.bfloat16 if kw.get("dtype", "bf16") in ("bf16", "bfloat16")
         else jnp.float32,
-        remat=bool(kw.get("remat", False)),
+        remat=(kw["remat"] if isinstance(kw.get("remat"), str)
+               else bool(kw.get("remat", False))),
+        quant=bool(kw.get("quant", False)),
     )
 
 
