@@ -180,6 +180,9 @@ def main():
             result["image_to_glb_vs_target"] = round(E2E_TARGET_S / total, 3)
             result["stage1_denoise_decode_s"] = round(s1, 2)
             result["stage2_extract_s"] = round(s2, 2)
+            # serial assets/min (BASELINE.md metric 3); the pipelined
+            # serve_assets path measures higher (benchmarks/bench_serve.py)
+            result["assets_per_min_serial"] = round(60.0 / total, 2)
         except Exception as e:  # never lose the primary metric
             result["image_to_glb_error"] = repr(e)[:200]
         try:
