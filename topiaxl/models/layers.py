@@ -163,8 +163,12 @@ class CrossAttention(nn.Module):
         B, N, _ = x.shape
         head_dim = self.dim // self.num_heads
         q = self.to_q(x).reshape(B, N, self.num_heads, head_dim)
+        # under a context-parallel ring backend only the self-attn tokens
+        # are sharded; cond K/V are replicated, so cross-attn is plain
+        # local attention of the local q shard against the full K/V
+        backend = "auto" if self.backend.startswith("ring:") else self.backend
         out = multi_head_attention(q, k, v, scale=float(head_dim) ** -1.0,
-                                   backend=self.backend)
+                                   backend=backend)
         out = out.reshape(B, N, self.dim)
         return self.proj(out)
 

@@ -58,6 +58,12 @@ def multi_head_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
+    if backend.startswith("ring:"):
+        # context-parallel: tokens sharded over the named mesh axis;
+        # only valid inside shard_map (ops/ring_attention.py)
+        from .ring_attention import ring_attention
+
+        return ring_attention(q, k, v, scale, axis_name=backend[5:])
     return _xla_attention(q, k, v, scale)
 
 

@@ -1,3 +1,4 @@
+from .context import make_cp_forward
 from .mesh import make_hybrid_mesh, make_mesh, mesh_from_config
 from .pipeline import (
     make_pp_forward,
@@ -16,6 +17,7 @@ from .sharding import (
 __all__ = [
     "make_mesh",
     "make_hybrid_mesh",
+    "make_cp_forward",
     "mesh_from_config",
     "dit_param_rules",
     "shard_params",
