@@ -1,4 +1,6 @@
-"""North-star benchmarks on one chip, printed as ONE JSON line.
+"""North-star benchmarks on one chip, printed as JSON lines — the LAST
+complete line carries every metric measured (earlier lines are
+progressive snapshots so a killed run still reports what finished).
 
 Primary metric: flagship DiT denoise steps/sec — one "step" = one CFG'd
 denoise evaluation at full 3DTopia-XL geometry (2 x [2048 tokens x 68ch]
@@ -213,48 +215,13 @@ def bench_dit_steps_int8() -> float:
 
 
 def bench_train_steps(batch: int = 2, steps: int = 5) -> float:
-    """Flagship DiT train step (full recipe, remat, donated state) —
-    same harness as benchmarks/bench_train.py, sized for the bench
-    budget."""
-    import numpy as np
+    """Flagship DiT train step (full recipe, full-block remat, donated
+    state). Delegates to the tuning harness (benchmarks/tune_train_remat)
+    so bench and sweep cannot drift."""
+    import importlib
 
-    from topiaxl.diffusion import create_diffusion
-    from topiaxl.models import DiT
-    from topiaxl.pipelines.train import (
-        create_train_state, jit_train_step, make_optimizer, make_train_step,
-    )
-
-    model = DiT(seq_length=2048, in_channels=68, condition_channels=768,
-                hidden_size=1152, depth=28, num_heads=16,
-                cond_drop_prob=0.1, attn_proj_bias=True,
-                dtype=jnp.bfloat16, remat=True)
-    diffusion = create_diffusion(
-        timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
-        parameterization="v", diffusion_steps=1000)
-    key = jax.random.PRNGKey(0)
-    params = jax.jit(model.init)(
-        key, jnp.zeros((1, 2048, 68)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 2, 768)))
-    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    opt = make_optimizer(lr=1e-4, warmup_iters=3000, max_iters=200000)
-    state = create_train_state(params, opt)
-    state = state._replace(
-        opt_state=jax.tree.map(lambda a: a + 0 if hasattr(a, "dtype") else a,
-                               state.opt_state))
-    rng = np.random.default_rng(0)
-    batch_d = {
-        "x": jnp.asarray(rng.standard_normal((batch, 2048, 68)).astype("f")),
-        "y": jnp.asarray(rng.standard_normal((batch, 1370, 768)).astype("f")),
-    }
-    step = jit_train_step(make_train_step(model, diffusion, opt),
-                          donate=True)
-    state, metrics = step(state, batch_d, key)  # compile
-    float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch_d, key)
-    float(metrics["loss"])
-    return steps / (time.perf_counter() - t0)
+    mod = importlib.import_module("benchmarks.tune_train_remat")
+    return mod.run(True, batch=batch, steps=steps, label="bench train")
 
 
 def bench_fidelity():

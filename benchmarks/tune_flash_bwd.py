@@ -42,19 +42,29 @@ def grad_stack(kk, vv, sc):
     return jax.jit(jax.grad(loss))
 
 
-def run(bq, bk):
+def run(bq, bk, dkv_bq, dkv_bk):
     orig = fa._flash_backward
-    fa._flash_backward = functools.partial(orig, block_q=bq, block_k=bk)
+    fa._flash_backward = functools.partial(
+        orig, block_q=bq, block_k=bk,
+        dkv_block_q=dkv_bq, dkv_block_k=dkv_bk)
+    label = f"dq=({bq},{bk}) dkv=({dkv_bq},{dkv_bk})"
     try:
         g_self = grad_stack(ks, vs, Dh ** -0.5)
         timeit(lambda q: (g_self(q),), q,
-               label=f"self fwd+bwd x{L} bwd blocks=({bq},{bk})")
+               label=f"self fwd+bwd x{L} {label}")
         g_cross = grad_stack(kc, vc, float(Dh) ** -1.0)
         timeit(lambda q: (g_cross(q),), q,
-               label=f"cross fwd+bwd x{L} bwd blocks=({bq},{bk})")
+               label=f"cross fwd+bwd x{L} {label}")
     finally:
         fa._flash_backward = orig
 
 
-for bq, bk in ((512, 512), (1024, 1024), (512, 2048)):
-    run(bq, bk)
+# the dq and dkv passes have independent blockings (flash_attention.py:
+# dkv is VMEM-budgeted tighter); sweep both
+for bq, bk, dkv_bq, dkv_bk in (
+    (512, 512, 512, 512),
+    (512, 2048, 256, 1024),   # shipped defaults
+    (512, 2048, 256, 2048),   # dkv single KV block (OOMs in-context at B>=4)
+    (512, 2048, 512, 1024),
+):
+    run(bq, bk, dkv_bq, dkv_bk)

@@ -107,3 +107,13 @@ def test_train_cli_preemption_checkpoint(tmp_path):
     assert proc.returncode == 0, out.decode()[-2000:]
     ckpt_dir = tmp_path / "out" / "train" / "ckpts"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir()), out.decode()[-2000:]
+
+
+def test_train_cli_rejects_quant(tmp_path):
+    from topiaxl.cli.train import main
+
+    cfg = _train_config(tmp_path, max_steps=1)
+    cfg.write_text(cfg.read_text().replace(
+        "cond_drop_prob: 0.1", "cond_drop_prob: 0.1\n    quant: true"))
+    with pytest.raises(ValueError, match="inference-only"):
+        main([str(cfg)])

@@ -270,7 +270,14 @@ def test_convert_cli_native_roundtrip(tmp_path):
         output_dir: {tmp_path}/out
         checkpoint_path: {ckpt}
         model:
-          generator: {{ depth: {depth} }}
+          generator:
+            class_name: topiaxl.DiT
+            seq_length: 4
+            in_channels: {inc}
+            condition_channels: {cond}
+            hidden_size: {hidden}
+            depth: {depth}
+            num_heads: 2
           conditioner: {{}}
     """))
     cfg = load_config(str(cfgf))

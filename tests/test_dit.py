@@ -146,3 +146,16 @@ def test_timestep_embedding_matches_reference_formula():
     args = np.asarray(t)[:, None] * freqs[None]
     ref = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
     np.testing.assert_allclose(emb, ref, atol=1e-5)
+
+
+def test_remat_invalid_string_rejected():
+    import pytest as _pytest
+
+    from topiaxl.models import DiT
+
+    model = DiT(seq_length=8, in_channels=4, condition_channels=6,
+                hidden_size=16, depth=1, num_heads=2, dtype=jnp.float32,
+                remat="matmul-outputs")
+    with _pytest.raises(ValueError, match="remat="):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                   jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 6)))

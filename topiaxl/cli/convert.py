@@ -40,19 +40,30 @@ def convert_all(cfg, out_dir: str) -> dict:
         written[name] = path
         logger.info("wrote %s", path)
 
+    # derive hyperparameters (depths, channel lists) from the BUILT
+    # models, exactly like cli/infer.py — raw config keys may be absent
+    # (registry defaults) or inconsistent with the model actually used
+    import topiaxl.registry  # noqa: F401
+    from topiaxl.core import build
+
     if cfg.get("checkpoint_path"):
+        dit = build(cfg.model.generator)
         sd = load_torch_checkpoint(cfg.checkpoint_path, key="ema")
-        save("dit", convert_dit(sd, int(cfg.model.generator.depth)))
+        save("dit", convert_dit(sd, dit.depth))
     if cfg.model.get("vae_checkpoint_path"):
         sd = load_torch_checkpoint(cfg.model.vae_checkpoint_path,
                                    key="model_state_dict")
         save("vae", convert_vae(sd, tuple(cfg.model.vae.down_channels),
                                 tuple(cfg.model.vae.up_channels)))
     if cfg.model.conditioner.get("encoder_checkpoint_path"):
+        conditioner = build(cfg.model.conditioner)
+        if not hasattr(conditioner, "encoder"):
+            raise ValueError(
+                "encoder_checkpoint_path set but the configured "
+                "conditioner has no encoder")
         sd = load_torch_checkpoint(
             cfg.model.conditioner.encoder_checkpoint_path)
-        depth = int(cfg.model.conditioner.get("encoder_depth", 12))
-        save("dinov2", convert_dinov2(sd, depth))
+        save("dinov2", convert_dinov2(sd, conditioner.encoder.vit.depth))
     if not written:
         logger.warning("no checkpoint paths in config; nothing converted")
     return written
@@ -77,6 +88,9 @@ def main(argv=None):
     out = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print(__doc__)
+            return 1
         out = argv[i + 1]
         del argv[i:i + 2]
 

@@ -98,6 +98,29 @@ def load_model_params(cfg, dit, vae, conditioner, key):
         logger.info("quantizing DiT weights for int8 serving")
         return quantize_dit_params(dit, params)
 
+    def _load_encoder(native_dir=None):
+        """Conditioner encoder weights: native tree if present, else the
+        configured torch checkpoint, else random init (with a warning)."""
+        if not hasattr(conditioner, "encoder"):
+            return
+        dv2 = None
+        if native_dir:
+            from topiaxl.cli.convert import load_native
+
+            dv2 = load_native(native_dir, "dinov2")
+        if dv2 is not None:
+            conditioner.encoder.params = jax.tree.map(jnp.asarray, dv2)
+            return
+        dv2_ckpt = cfg.model.conditioner.get("encoder_checkpoint_path")
+        if dv2_ckpt:
+            sd = load_torch_checkpoint(dv2_ckpt)
+            conditioner.encoder.params = jax.tree.map(
+                jnp.asarray,
+                convert_dinov2(sd, conditioner.encoder.vit.depth))
+        elif hasattr(conditioner.encoder, "init_params"):
+            logger.warning("no DINOv2 checkpoint: conditioner runs random init")
+            conditioner.encoder.init_params(key)
+
     native_dir = cfg.model.get("native_checkpoint_dir")
     if native_dir:
         # pre-converted orbax trees (cli/convert.py) — skips the torch
@@ -106,13 +129,8 @@ def load_model_params(cfg, dit, vae, conditioner, key):
 
         dit_params = load_native(native_dir, "dit")
         vae_params = load_native(native_dir, "vae")
-        dv2 = load_native(native_dir, "dinov2")
-        if dv2 is not None:
-            conditioner.encoder.params = jax.tree.map(jnp.asarray, dv2)
-        elif hasattr(conditioner, "encoder") and hasattr(
-                conditioner.encoder, "init_params"):
-            conditioner.encoder.init_params(key)
         if dit_params is not None and vae_params is not None:
+            _load_encoder(native_dir)
             logger.info("loaded native checkpoints from %s", native_dir)
             return (_maybe_quantize(jax.tree.map(jnp.asarray, dit_params)),
                     jax.tree.map(jnp.asarray, vae_params))
@@ -143,15 +161,7 @@ def load_model_params(cfg, dit, vae, conditioner, key):
         logger.warning("no vae_checkpoint_path: VAE runs with random init")
         vae_params = vae.init(key, jnp.zeros((1, 8, 8, 8, 6)), key)
 
-    dv2_ckpt = cfg.model.conditioner.get("encoder_checkpoint_path")
-    if dv2_ckpt:
-        sd = load_torch_checkpoint(dv2_ckpt)
-        conditioner.encoder.params = jax.tree.map(
-            jnp.asarray, convert_dinov2(sd, conditioner.encoder.vit.depth))
-    elif hasattr(conditioner, "encoder") and hasattr(conditioner.encoder,
-                                                     "init_params"):
-        logger.warning("no DINOv2 checkpoint: conditioner runs random init")
-        conditioner.encoder.init_params(key)
+    _load_encoder()
     return dit_params, vae_params
 
 

@@ -50,6 +50,12 @@ def main(argv=None):
     logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
 
     dit = build(cfg.model.generator)
+    if getattr(dit, "quant", False):
+        # int8 rounding has no useful gradient; fail clearly at startup
+        # instead of deep inside jax.grad (int8 leaves are non-differentiable)
+        raise ValueError(
+            "model.generator.quant=true is inference-only; unset it for "
+            "training (serving configs can keep it)")
     diffusion = create_diffusion(
         timestep_respacing=None,
         noise_schedule=cfg.diffusion.noise_schedule,

@@ -193,6 +193,11 @@ class DiT(nn.Module):
                 DiTBlock, static_argnums=(),
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
+        elif isinstance(self.remat, str):
+            # any other string would silently fall through to full-block
+            # remat below — reject it instead
+            raise ValueError(
+                f"remat={self.remat!r}: expected False, True, or 'dots'")
         elif self.remat:
             block = nn.remat(DiTBlock, static_argnums=())
         self.blocks = [
