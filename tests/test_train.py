@@ -359,3 +359,40 @@ def test_hybrid_mesh_validation():
         make_hybrid_mesh({"dp": 2}, {"dp": 2})
     with pytest.raises(ValueError, match="devices"):
         make_hybrid_mesh({"tp": 8}, {"dp": 4})
+
+
+@pytest.mark.slow
+def test_train_then_sample_recovers_distribution():
+    """The whole recipe learns: train the tiny DiT (v-pred, learned
+    sigma) on a constant-token distribution, then DDIM-sample from pure
+    noise and check the samples land on the distribution. Proves
+    training losses, optimizer, and the sampling chain agree end to end."""
+    from topiaxl.diffusion import gaussian
+
+    model = DiT(seq_length=8, in_channels=4, condition_channels=6,
+                hidden_size=32, depth=2, num_heads=4, cond_drop_prob=0.0,
+                dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=20, learn_sigma=True)
+    key = jax.random.PRNGKey(0)
+    target = 0.7
+    params = model.init(key, jnp.zeros((1, 8, 4)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 2, 6)))
+    opt = make_optimizer(lr=3e-3, warmup_iters=10, max_iters=100000)
+    state = create_train_state(params, opt)
+    step = jit_train_step(make_train_step(model, diffusion, opt))
+    batch = {"x": jnp.full((16, 8, 4), target), "y": jnp.zeros((16, 3, 6))}
+    for i in range(400):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+
+    def model_fn(x, t):
+        return model.apply(state.params, x, t, jnp.zeros((x.shape[0], 3, 6)))
+
+    noise = jax.random.normal(jax.random.PRNGKey(99), (4, 8, 4))
+    out = gaussian.ddim_sample_loop(diffusion, model_fn, noise,
+                                    jax.random.PRNGKey(5))
+    samp = out.sample if hasattr(out, "sample") else out
+    rms = float(jnp.sqrt(jnp.mean((samp - target) ** 2)))
+    assert abs(float(jnp.mean(samp)) - target) < 0.1, rms
+    assert rms < 0.15, rms
