@@ -396,3 +396,32 @@ def test_train_then_sample_recovers_distribution():
     rms = float(jnp.sqrt(jnp.mean((samp - target) ** 2)))
     assert abs(float(jnp.mean(samp)) - target) < 0.1, rms
     assert rms < 0.15, rms
+
+
+def test_remat_modes_match_numerics():
+    """remat=False / 'dots' / True are pure memory-speed trade-offs —
+    one train step must produce identical losses and params."""
+    results = []
+    for remat in (False, "dots", True):
+        model = DiT(seq_length=8, in_channels=4, condition_channels=6,
+                    hidden_size=16, depth=1, num_heads=2, cond_drop_prob=0.1,
+                    dtype=jnp.float32, remat=remat)
+        diffusion = create_diffusion(
+            timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
+            parameterization="v", diffusion_steps=20)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 6)))
+        opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+        batch = {
+            "x": jnp.asarray(
+                np.random.default_rng(0).standard_normal((2, 8, 4)), jnp.float32),
+            "y": jnp.asarray(
+                np.random.default_rng(1).standard_normal((2, 3, 6)), jnp.float32),
+        }
+        s, m = jit_train_step(make_train_step(model, diffusion, opt))(
+            create_train_state(params, opt), batch, jax.random.PRNGKey(7))
+        results.append((float(m["loss"]),
+                        np.asarray(s.params["params"]["x_embedder"]["kernel"])))
+    for loss, kern in results[1:]:
+        np.testing.assert_allclose(loss, results[0][0], rtol=1e-6)
+        np.testing.assert_allclose(kern, results[0][1], atol=1e-6)

@@ -189,9 +189,16 @@ class DiT(nn.Module):
         self.t_embedder = TimestepEmbedder(self.hidden_size)
         block = DiTBlock
         if self.remat == "dots":
+            # matmul outputs AND the flash kernel's saved out/lse
+            # (named in ops/flash_attention._fwd) are kept; only
+            # elementwise ops recompute in the backward
             block = nn.remat(
                 DiTBlock, static_argnums=(),
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                policy=jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse"),
+                ),
             )
         elif isinstance(self.remat, str):
             # any other string would silently fall through to full-block

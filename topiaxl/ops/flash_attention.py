@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -411,6 +412,11 @@ def flash_attention(q, k, v, scale: float):
 
 def _fwd(q, k, v, scale):
     out, lse = _flash_forward(q, k, v, scale, return_lse=True)
+    # named so remat policies can SAVE the kernel's outputs instead of
+    # re-running the whole flash forward in the backward (models/dit.py
+    # remat="dots" adds save_only_these_names on these)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
