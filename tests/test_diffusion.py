@@ -169,3 +169,59 @@ def test_training_losses_v_param():
 def test_normal_kl_zero_for_identical():
     kl = gaussian.normal_kl(1.0, 0.5, 1.0, 0.5)
     assert abs(float(kl)) < 1e-6
+
+
+def test_dpm_solver_recovers_x0_with_perfect_model():
+    """DPM-Solver++(2M) with a perfect model converges to x0 — and does
+    so with HALF the steps DDIM uses."""
+    diff = create_diffusion(
+        timestep_respacing="ddim12",
+        noise_schedule="squaredcos_cap_v2",
+        parameterization="v",
+        diffusion_steps=1000,
+    )
+    key = jax.random.PRNGKey(42)
+    x0 = 0.5 * jax.random.normal(key, (2, 16, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 4))
+    model_fn = _perfect_v_model(diff, x0)
+    out = gaussian.dpm_solver_pp_2m_loop(diff, model_fn, noise,
+                                         jax.random.PRNGKey(0))
+    assert bool(jnp.all(jnp.isfinite(out.sample)))
+    np.testing.assert_allclose(np.asarray(out.sample), np.asarray(x0),
+                               atol=2e-3)
+
+
+def test_dpm_solver_half_steps_tracks_ddim_on_rough_model():
+    """On an IMPERFECT model (perfect x0 + structured bias), 12-step
+    DPM-Solver++ lands within the same neighborhood as 25-step DDIM —
+    the second-order multistep correction is doing its job."""
+    key = jax.random.PRNGKey(3)
+    x0 = 0.5 * jax.random.normal(key, (2, 16, 4))
+    bias = 0.05 * jax.random.normal(jax.random.PRNGKey(11), (2, 16, 4))
+
+    def rough(diff):
+        perfect = _perfect_v_model(diff, x0)
+
+        def model_fn(x, t):
+            return perfect(x, t) + jnp.concatenate([bias, jnp.zeros_like(bias)],
+                                                   axis=-1)
+        return model_fn
+
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 4))
+    d25 = create_diffusion(timestep_respacing="ddim25",
+                           noise_schedule="squaredcos_cap_v2",
+                           parameterization="v", diffusion_steps=1000)
+    d12 = create_diffusion(timestep_respacing="ddim12",
+                           noise_schedule="squaredcos_cap_v2",
+                           parameterization="v", diffusion_steps=1000)
+    ref = gaussian.ddim_sample_loop(d25, rough(d25), noise,
+                                    jax.random.PRNGKey(0)).sample
+    dpm = gaussian.dpm_solver_pp_2m_loop(d12, rough(d12), noise,
+                                         jax.random.PRNGKey(0)).sample
+    # both converge near x0 + O(bias); they must agree with each other
+    # about as well as either agrees with x0
+    d_ref = float(jnp.sqrt(jnp.mean((ref - x0) ** 2)))
+    d_dpm = float(jnp.sqrt(jnp.mean((dpm - x0) ** 2)))
+    d_cross = float(jnp.sqrt(jnp.mean((dpm - ref) ** 2)))
+    assert d_dpm < 2.0 * max(d_ref, 0.02), (d_ref, d_dpm)
+    assert d_cross < 2.0 * max(d_ref, 0.02), (d_ref, d_dpm, d_cross)

@@ -229,6 +229,9 @@ def main(argv=None):
             latent_nf=float(cfg.model.get("latent_nf", 1.0)),
             cfg_scale=float(cfg.inference.get("cfg", 0.0)),
             prim_shape=cfg.model.prim_shape, dim_feat=cfg.model.dim_feat,
+            # 'ddim' (reference default) | 'dpm' (DPM-Solver++ 2M: same
+            # quality at roughly half the steps) | 'ancestral'
+            sampler=cfg.inference.get("sampler", "ddim"),
         )
         P.save_primx(os.path.join(out_dir, "denoised.npz"), params)
 

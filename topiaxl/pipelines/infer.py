@@ -71,8 +71,9 @@ def sample_tokens(
         def model_fn(x, t):
             return dit.apply(dit_params, x, t, kvs, method=DiT.forward_kv)
 
-    loop = (gaussian.ddim_sample_loop if sampler == "ddim"
-            else gaussian.p_sample_loop)
+    loop = {"ddim": gaussian.ddim_sample_loop,
+            "dpm": gaussian.dpm_solver_pp_2m_loop,
+            "ancestral": gaussian.p_sample_loop}[sampler]
     out = loop(
         diffusion, model_fn, noise, loop_key, clip_denoised=False,
         keep_trajectory=keep_trajectory,
@@ -133,8 +134,10 @@ def generate_primx(
     cfg_scale: float = 6.0,
     prim_shape: int = 8,
     dim_feat: int = 6,
+    sampler: str = "ddim",
 ) -> PrimXParams:
-    out = sample_tokens(dit, diffusion, dit_params, y, key, cfg_scale)
+    out = sample_tokens(dit, diffusion, dit_params, y, key, cfg_scale,
+                        sampler=sampler)
     recon = denormalize_tokens(out.sample, jnp.asarray(latent_mean),
                                jnp.asarray(latent_std), latent_nf)
     srt, feat = decode_primx(
