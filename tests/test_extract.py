@@ -375,3 +375,51 @@ def test_uv_unwrap_many_tiny_islands_packs():
     uv, idx = box_projection_uv_unwrap(v, vn, f, 0.02)
     assert uv.min() >= 0 and uv.max() <= 1
     assert idx.shape == f.shape
+
+
+@pytest.mark.slow
+def test_extract_glb_ssaa(tmp_path):
+    """ssaa=2 bakes at double resolution then area-downsamples: output
+    texture stays texture_size^2 and the GLB parses; albedo PSNR vs the
+    field does not regress vs ssaa=1."""
+    import cv2
+
+    from tests.test_fidelity import _psnr, _textured_sphere
+    from topiaxl.extract.glb import read_glb
+    from topiaxl.pipelines import infer as P
+
+    params = _textured_sphere()
+    res = {}
+    for ssaa in (1, 2):
+        d = tmp_path / f"ssaa{ssaa}"
+        glb = P.extract_glb(params, str(d), mc_resolution=48, decimate=5000,
+                            texture_size=64, batch_size=16384,
+                            pos_scale=1.0, ssaa=ssaa)
+        tex = cv2.imread(str(d / "texture.jpg"))
+        assert tex.shape == (64, 64, 3)
+        gltf, _ = read_glb(glb)
+        assert gltf["asset"]["version"] == "2.0"
+        res[ssaa] = tex[..., ::-1] / 255.0
+    # compare island INTERIORS only: boundary/inpaint texels shift by
+    # half a texel between bake resolutions (both still valid bakes)
+    from scipy import ndimage
+
+    from topiaxl.extract.rasterize import rasterize_uv_atlas as _ras
+    # interior of the ssaa=1 coverage mask (recomputed is identical for
+    # both runs: same mesh, same unwrap)
+    gltf, blob = read_glb(str(tmp_path / "ssaa1" / "pbr_mesh.glb"))
+    prim = gltf["meshes"][0]["primitives"][0]
+
+    def load(name, dtype, ncomp):
+        acc = gltf["accessors"][name]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        return np.frombuffer(blob, dtype, acc["count"] * ncomp,
+                             view.get("byteOffset", 0)).reshape(-1, ncomp)
+
+    verts = load(prim["attributes"]["POSITION"], np.float32, 3)
+    uv = load(prim["attributes"]["TEXCOORD_0"], np.float32, 2)
+    faces = load(prim["indices"], np.uint32, 1).reshape(-1, 3)
+    _, mask = _ras(uv[faces], verts[faces], 64, 64)
+    interior = ndimage.binary_erosion(mask, iterations=2)
+    assert interior.sum() > 50
+    assert _psnr(res[1][interior], res[2][interior]) > 25.0

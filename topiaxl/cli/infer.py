@@ -255,6 +255,7 @@ def main(argv=None):
                     dim_feat=cfg.model.dim_feat,
                     fast_unwrap=cfg.inference.get("fast_unwrap", True),
                     remesh=cfg.inference.get("remesh", False),
+                    ssaa=int(cfg.inference.get("ssaa", 1)),
                 )
                 logger.info("stage2 done: %s", glb)
             except RuntimeError as e:

@@ -397,11 +397,14 @@ def extract_glb(
     remesh: bool = False,
     inpaint_pad: int = 32,
     pos_scale: float = 0.85,
+    ssaa: int = 1,
 ) -> str:
     """Full PrimX -> pbr_mesh.glb pipeline (reference inference.py:86-225).
 
     Returns the GLB path. Also writes texture.jpg / roughness_metallic.jpg
-    like the reference.
+    like the reference. ``ssaa`` supersamples the bake: rasterize/query/
+    inpaint at ssaa*texture_size, then area-downsample (reference
+    inference.py:133,166-168,212-215).
     """
     import logging
     import time
@@ -460,8 +463,9 @@ def extract_glb(
 
     uv_corners = uv[uv_idx]                 # [F, 3, 2]
     pos_corners = verts[faces]              # [F, 3, 3]
+    rs = texture_size * max(int(ssaa), 1)
     xyz_map, mask = rasterize_uv_atlas(
-        uv_corners, pos_corners, texture_size, texture_size
+        uv_corners, pos_corners, rs, rs
     )
     tick("rasterize")
 
@@ -482,12 +486,12 @@ def extract_glb(
     ]
     texmat = np.asarray(jnp.concatenate(parts))[:P]  # [P, 5] uint8
     out = {}
-    full = np.zeros((texture_size * texture_size, 5), np.float32)
+    full = np.zeros((rs * rs, 5), np.float32)
     full[tex_idx] = texmat.astype(np.float32) / 255.0
     out["tex"] = full[:, 0:3]
     out["mat"] = full[:, 3:5]
-    tex = out["tex"].reshape(texture_size, texture_size, 3)
-    mat = out["mat"].reshape(texture_size, texture_size, 2)
+    tex = out["tex"].reshape(rs, rs, 3)
+    mat = out["mat"].reshape(rs, rs, 2)
     feats = np.concatenate(
         [tex, np.zeros_like(tex[..., :1]), mat], axis=-1
     )  # [H, W, 6] = R G B 0 rough metal (reference inference.py:191)
@@ -495,6 +499,9 @@ def extract_glb(
     tick("bake_queries")
     feats = nearest_inpaint(feats, mask, pad_width=inpaint_pad)
     tick("inpaint")
+    if rs != texture_size:
+        feats = cv2.resize(feats, (texture_size, texture_size),
+                           interpolation=cv2.INTER_AREA)
 
     albedo = feats[..., 0:3]
     mr = feats[..., 3:6]
