@@ -227,3 +227,41 @@ def test_cli_infer_tiny_e2e_int8(tmp_path):
     assert os.path.exists(out_dir / "denoised.npz")
     data = np.load(out_dir / "denoised.npz")
     assert np.isfinite(data["feat"]).all()
+
+@pytest.mark.slow
+def test_cli_prepare_data_to_train_batch(tmp_path):
+    """Mesh files -> fitted PrimX -> token shards -> a TokenShardDataset
+    batch: the full dataset-preparation loop at tiny scale."""
+    from topiaxl.extract.objio import save_obj
+
+    # two tiny cubes as input assets
+    v = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                  for z in (-0.5, 0.5)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int64)
+    mesh_dir = tmp_path / "meshes"
+    os.makedirs(mesh_dir)
+    for i in range(2):
+        save_obj(str(mesh_dir / f"cube{i}.obj"), v, f)
+
+    cfg = _tiny_config(tmp_path)
+    from topiaxl.cli.prepare_data import main
+
+    out = tmp_path / "shards"
+    rc = main([str(cfg), f"data.input_glob={mesh_dir}/*.obj",
+               f"data.output_dir={out}", "data.assets_per_shard=2",
+               "data.shape_opt_steps=30", "data.tex_opt_steps=0"])
+    assert rc == 0
+    shards = sorted(os.listdir(out))
+    assert shards == ["shard_00000.npz"]
+
+    from topiaxl.pipelines.data import TokenShardDataset
+
+    ds = TokenShardDataset(str(out / "*.npz"), batch_size=2,
+                           host_id=0, host_count=1)
+    batch = next(ds.epoch(0))
+    assert batch["x"].shape[0] == 2 and np.isfinite(batch["x"]).all()
+    assert batch["y"].shape[0] == 2 and np.isfinite(batch["y"]).all()
+    # x tokens carry srt + latent channels (4 + latent)
+    assert batch["x"].shape[1] == 16  # num_prims of the tiny config
