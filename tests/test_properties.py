@@ -9,7 +9,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+
+hypothesis = pytest.importorskip("hypothesis")  # optional test-only dep
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 SET = dict(deadline=None, max_examples=12)
 

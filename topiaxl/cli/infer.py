@@ -81,9 +81,7 @@ def load_model_params(cfg, dit, vae, conditioner, key):
     import jax
     import jax.numpy as jnp
 
-    from topiaxl.core.convert import (
-        convert_dinov2, convert_dit, convert_vae, load_torch_checkpoint,
-    )
+    from topiaxl.core.convert import convert_dit, load_torch_checkpoint
 
     def _maybe_quantize(params):
         """Float DiT weights -> int8 form when the generator is built
@@ -99,27 +97,7 @@ def load_model_params(cfg, dit, vae, conditioner, key):
         return quantize_dit_params(dit, params)
 
     def _load_encoder(native_dir=None):
-        """Conditioner encoder weights: native tree if present, else the
-        configured torch checkpoint, else random init (with a warning)."""
-        if not hasattr(conditioner, "encoder"):
-            return
-        dv2 = None
-        if native_dir:
-            from topiaxl.cli.convert import load_native
-
-            dv2 = load_native(native_dir, "dinov2")
-        if dv2 is not None:
-            conditioner.encoder.params = jax.tree.map(jnp.asarray, dv2)
-            return
-        dv2_ckpt = cfg.model.conditioner.get("encoder_checkpoint_path")
-        if dv2_ckpt:
-            sd = load_torch_checkpoint(dv2_ckpt)
-            conditioner.encoder.params = jax.tree.map(
-                jnp.asarray,
-                convert_dinov2(sd, conditioner.encoder.vit.depth))
-        elif hasattr(conditioner.encoder, "init_params"):
-            logger.warning("no DINOv2 checkpoint: conditioner runs random init")
-            conditioner.encoder.init_params(key)
+        load_encoder_params(cfg, conditioner, key, native_dir=native_dir)
 
     native_dir = cfg.model.get("native_checkpoint_dir")
     if native_dir:
@@ -149,20 +127,64 @@ def load_model_params(cfg, dit, vae, conditioner, key):
             key, x, jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 2, dit.condition_channels)))
 
+    vae_params = load_vae_params(cfg, vae, key)
+    _load_encoder()
+    return dit_params, vae_params
+
+
+def load_vae_params(cfg, vae, key):
+    """VAE weights alone: native tree, torch checkpoint, or random init."""
+    import jax
+    import jax.numpy as jnp
+
+    from topiaxl.core.convert import convert_vae, load_torch_checkpoint
+
+    native_dir = cfg.model.get("native_checkpoint_dir")
+    if native_dir:
+        from topiaxl.cli.convert import load_native
+
+        p = load_native(native_dir, "vae")
+        if p is not None:
+            return jax.tree.map(jnp.asarray, p)
     if cfg.model.get("vae_checkpoint_path"):
         sd = load_torch_checkpoint(cfg.model.vae_checkpoint_path,
                                    key="model_state_dict")
-        vae_params = jax.tree.map(
+        return jax.tree.map(
             jnp.asarray,
             convert_vae(sd, tuple(cfg.model.vae.down_channels),
                         tuple(cfg.model.vae.up_channels)),
         )
-    else:
-        logger.warning("no vae_checkpoint_path: VAE runs with random init")
-        vae_params = vae.init(key, jnp.zeros((1, 8, 8, 8, 6)), key)
+    logger.warning("no vae_checkpoint_path: VAE runs with random init")
+    return vae.init(key, jnp.zeros((1, 8, 8, 8, 6)), key)
 
-    _load_encoder()
-    return dit_params, vae_params
+
+def load_encoder_params(cfg, conditioner, key, native_dir=None):
+    """Conditioner encoder weights in place: native tree if present, else
+    the configured torch checkpoint, else random init (with a warning)."""
+    import jax
+    import jax.numpy as jnp
+
+    from topiaxl.core.convert import convert_dinov2, load_torch_checkpoint
+
+    if not hasattr(conditioner, "encoder"):
+        return
+    dv2 = None
+    if native_dir:
+        from topiaxl.cli.convert import load_native
+
+        dv2 = load_native(native_dir, "dinov2")
+    if dv2 is not None:
+        conditioner.encoder.params = jax.tree.map(jnp.asarray, dv2)
+        return
+    dv2_ckpt = cfg.model.conditioner.get("encoder_checkpoint_path")
+    if dv2_ckpt:
+        sd = load_torch_checkpoint(dv2_ckpt)
+        conditioner.encoder.params = jax.tree.map(
+            jnp.asarray,
+            convert_dinov2(sd, conditioner.encoder.vit.depth))
+    elif hasattr(conditioner.encoder, "init_params"):
+        logger.warning("no DINOv2 checkpoint: conditioner runs random init")
+        conditioner.encoder.init_params(key)
 
 
 def main(argv=None):
@@ -175,7 +197,7 @@ def main(argv=None):
     import topiaxl.registry  # noqa: F401  (populate the factory table)
     from topiaxl.core import build, load_config
     from topiaxl.diffusion import create_diffusion
-    from topiaxl.models.latent_stats import get_latent_stats
+    from topiaxl.models.latent_stats import resolve_latent_stats
     from topiaxl.pipelines import infer as P
     from topiaxl.render.visualize import (
         visualize_primvolume, visualize_video_primvolume,
@@ -201,12 +223,7 @@ def main(argv=None):
         parameterization=cfg.diffusion.parameterization,
     )
 
-    stats = cfg.model.get("latent_stats")
-    if stats is not None:
-        latent_mean, latent_std = get_latent_stats(stats)
-    else:
-        latent_mean, latent_std = get_latent_stats(
-            cfg.model.latent_mean, cfg.model.latent_std)
+    latent_mean, latent_std = resolve_latent_stats(cfg.model)
 
     img_dir = cfg.inference.input_dir
     img_list = sorted(

@@ -46,9 +46,10 @@ def prepare_asset(path: str, vae, vae_params, conditioner, key,
                        surface_points=surface,
                        config=fit_cfg or FitConfig())
 
+    fcfg = fit_cfg or FitConfig()
     x = encode_assets(vae, vae_params, np.asarray(params.srt),
                       np.asarray(params.feat), latent_mean, latent_std,
-                      latent_nf)
+                      latent_nf, dim_feat=fcfg.dim_feat)
     y = conditioner.condition_from_primx(
         jnp.asarray(params.srt)[None], jnp.asarray(params.feat)[None],
         key=cond_key)
@@ -68,7 +69,7 @@ def main(argv=None):
 
     import topiaxl.registry  # noqa: F401
     from topiaxl.core import build, load_config
-    from topiaxl.models.latent_stats import get_latent_stats
+    from topiaxl.models.latent_stats import resolve_latent_stats
     from topiaxl.pipelines.fit import FitConfig
 
     cfg = load_config(argv[0], overrides=argv[1:])
@@ -82,17 +83,15 @@ def main(argv=None):
 
     vae = build(cfg.model.vae)
     conditioner = build(cfg.model.conditioner)
-    from topiaxl.cli.infer import load_model_params
+    # only the VAE + conditioner encoder are needed — don't build or
+    # load the (possibly ~1B-param) DiT generator for data preparation
+    from topiaxl.cli.infer import load_encoder_params, load_vae_params
 
-    _, vae_params = load_model_params(cfg, build(cfg.model.generator), vae,
-                                      conditioner,
-                                      jax.random.PRNGKey(int(cfg.global_seed)))
-    stats = cfg.model.get("latent_stats")
-    if stats is not None:
-        latent_mean, latent_std = get_latent_stats(stats)
-    else:
-        latent_mean, latent_std = get_latent_stats(
-            cfg.model.latent_mean, cfg.model.latent_std)
+    key0 = jax.random.PRNGKey(int(cfg.global_seed))
+    vae_params = load_vae_params(cfg, vae, key0)
+    load_encoder_params(cfg, conditioner, key0,
+                        native_dir=cfg.model.get("native_checkpoint_dir"))
+    latent_mean, latent_std = resolve_latent_stats(cfg.model)
 
     fit_cfg = FitConfig(
         prim_shape=int(cfg.model.prim_shape),

@@ -314,8 +314,11 @@ def dpm_solver_pp_2m_loop(
         # exp(-h) from the tables directly (finite even when sig_p == 0)
         exp_neg_h = (alph * sig_p) / (sig * alph_p)
         lam = 0.5 * (jnp.log(acp) - jnp.log1p(-acp))
-        # lam_p is +inf at the final step; every use is gated below
-        lam_p = 0.5 * (jnp.log(acp_p) - jnp.log1p(-jnp.minimum(acp_p, 1 - 1e-20)))
+        # at the final step acp_p == 1 so lam_p/h/c/d_2m are inf/NaN —
+        # correctness rests on the first-order `fo` gate below, which
+        # selects away from them (jnp.where never propagates the
+        # unselected branch's values)
+        lam_p = 0.5 * (jnp.log(acp_p) - jnp.log1p(-acp_p))
         h = lam_p - lam
 
         c = h / (2.0 * jnp.maximum(old_h, 1e-20))  # 1/(2r), r = h_old/h

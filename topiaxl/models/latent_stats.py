@@ -40,6 +40,18 @@ STATS = {
 }
 
 
+def resolve_latent_stats(model_cfg):
+    """Stats from a config's ``model`` node: a named ``latent_stats``
+    wins; else the explicit ``latent_mean``/``latent_std`` lists. The
+    single source of truth for token normalization — shared by inference
+    (cli/infer.py) and dataset preparation (cli/prepare_data.py), which
+    MUST agree."""
+    stats = model_cfg.get("latent_stats")
+    if stats is not None:
+        return get_latent_stats(stats)
+    return get_latent_stats(model_cfg.latent_mean, model_cfg.latent_std)
+
+
 def get_latent_stats(name_or_lists, std=None):
     """Resolve latent stats from a registered name or explicit lists."""
     if isinstance(name_or_lists, str):

@@ -71,9 +71,13 @@ def sample_tokens(
         def model_fn(x, t):
             return dit.apply(dit_params, x, t, kvs, method=DiT.forward_kv)
 
-    loop = {"ddim": gaussian.ddim_sample_loop,
-            "dpm": gaussian.dpm_solver_pp_2m_loop,
-            "ancestral": gaussian.p_sample_loop}[sampler]
+    loops = {"ddim": gaussian.ddim_sample_loop,
+             "dpm": gaussian.dpm_solver_pp_2m_loop,
+             "ancestral": gaussian.p_sample_loop}
+    if sampler not in loops:
+        raise ValueError(
+            f"sampler={sampler!r}: expected one of {sorted(loops)}")
+    loop = loops[sampler]
     out = loop(
         diffusion, model_fn, noise, loop_key, clip_denoised=False,
         keep_trajectory=keep_trajectory,
@@ -534,6 +538,7 @@ def serve_assets(
     cfg_scale: float = 6.0,
     prim_shape: int = 8,
     dim_feat: int = 6,
+    sampler: str = "ddim",
     **extract_kw,
 ) -> list:
     """Throughput-oriented multi-asset serving: asset i+1's denoise/decode
@@ -561,7 +566,7 @@ def serve_assets(
             params = generate_primx(
                 dit, vae, diffusion, dit_params, vae_params, y, gen_key,
                 latent_mean, latent_std, latent_nf, cfg_scale,
-                prim_shape, dim_feat)
+                prim_shape, dim_feat, sampler=sampler)
             futures.append(pool.submit(
                 extract_glb, params, out_dir,
                 prim_shape=prim_shape, dim_feat=dim_feat, **extract_kw))
