@@ -81,8 +81,9 @@ class App:
     # -- stage 2: generate ---------------------------------------------------
 
     def generate(self, steps: int = 25, cfg_scale: float = 6.0,
-                 seed: int = 42):
-        """DDIM sample -> PrimX (reference app.py generate stage)."""
+                 seed: int = 42, sampler: str = "ddim"):
+        """Denoise -> PrimX (reference app.py generate stage);
+        ``sampler='dpm'`` runs DPM-Solver++(2M) (use ~half the steps)."""
         import jax.numpy as jnp
 
         from topiaxl.pipelines import infer as P
@@ -105,6 +106,7 @@ class App:
             cfg_scale=float(cfg_scale),
             prim_shape=int(self.cfg.model.prim_shape),
             dim_feat=int(self.cfg.model.dim_feat),
+            sampler=sampler,
         )
         P.save_primx(os.path.join(self.workdir, "denoised.npz"), self.primx)
         return self.primx
@@ -124,7 +126,7 @@ class App:
 
     def export(self, mc_resolution: int = 256, decimate: int = 100000,
                texture_size: int = 1024, fast_unwrap: bool = True,
-               remesh: bool = False):
+               remesh: bool = False, ssaa: int = 1):
         """PrimX -> pbr_mesh.glb (reference app.py export stage knobs:
         MC res 128/256, remesh, unwrap Faster/Better)."""
         from topiaxl.pipelines import infer as P
@@ -139,6 +141,7 @@ class App:
             prim_shape=int(self.cfg.model.prim_shape),
             dim_feat=int(self.cfg.model.dim_feat),
             fast_unwrap=bool(fast_unwrap), remesh=bool(remesh),
+            ssaa=int(ssaa),
         )
 
     def run(self, image_path: str, **kw):
