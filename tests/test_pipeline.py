@@ -213,3 +213,43 @@ def test_serve_assets_pipelined(tmp_path):
             p, str(tmp_path / f"s{i}"), mc_resolution=24, decimate=2000,
             texture_size=64, batch_size=4096, prim_shape=4, dim_feat=6)
         assert os.path.getsize(g2) == os.path.getsize(glbs[i])
+
+
+def test_serve_assets_dpm_sampler(tmp_path):
+    """serve_assets honors sampler='dpm' (the DPM-Solver++ path runs
+    through the pipelined serving loop and produces finite PrimX)."""
+    n_prims, in_ch, cond_ch = 8, 12, 6
+    dit = DiT(seq_length=n_prims, in_channels=in_ch,
+              condition_channels=cond_ch, hidden_size=16, depth=1,
+              num_heads=2, cond_drop_prob=0.1, dtype=jnp.float32)
+    vae = VAE3D(in_channels=6, latent_channels=1, out_channels=6,
+                down_channels=(8, 16), up_channels=(16, 8),
+                layers_per_block=1, dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing="ddim3", noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=50)
+    key = jax.random.PRNGKey(0)
+    dit_params = dit.init(key, jnp.zeros((1, n_prims, in_ch)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, 3, cond_ch)))
+    vae_params = vae.init(key, jnp.zeros((1, 4, 4, 4, 6)), key)
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cond_ch))
+
+    out = infer.sample_tokens(dit, diffusion, dit_params, y,
+                              jax.random.PRNGKey(7), 2.0, sampler="dpm")
+    assert bool(jnp.all(jnp.isfinite(out.sample)))
+    # unknown samplers are rejected loudly
+    with pytest.raises(ValueError, match="sampler="):
+        infer.sample_tokens(dit, diffusion, dit_params, y,
+                            jax.random.PRNGKey(7), 2.0, sampler="ddpm")
+    try:
+        glbs = infer.serve_assets(
+            dit, vae, diffusion, dit_params, vae_params, [y],
+            [str(tmp_path / "a0")], jax.random.PRNGKey(7),
+            np.zeros(in_ch, np.float32), np.ones(in_ch, np.float32),
+            cfg_scale=2.0, prim_shape=4, dim_feat=6, sampler="dpm",
+            mc_resolution=24, decimate=2000, texture_size=64,
+            batch_size=4096)
+    except RuntimeError as e:
+        pytest.skip(f"degenerate random asset: {e}")
+    assert os.path.exists(glbs[0])
