@@ -117,6 +117,34 @@ def test_flash_backward_matches_xla_vjp():
                 err_msg=f"d{name} (B={B},Sq={Sq},Sk={Sk})")
 
 
+def test_flash_backward_fold_agrees_with_forward():
+    """512 < Sq < 1024 (non-multiple of 512): the forward folds lse to
+    ceil8(Sq) with its 1024-row blocks while the backward defaults to
+    512-row blocks — the backward must adopt the forward's padded length
+    instead of reading past the saved lse (ADVICE r1)."""
+    import jax
+
+    from topiaxl.ops.attention import _xla_attention
+    from topiaxl.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(11)
+    B, Sq, Sk, H, hd, scale = 1, 600, 160, 2, 8, 8**-0.5
+    q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+
+    out_f, vjp_f = jax.vjp(lambda a, b, c:
+                           flash_attention(a, b, c, scale), q, k, v)
+    out_x, vjp_x = jax.vjp(lambda a, b, c:
+                           _xla_attention(a, b, c, scale), q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               atol=2e-5)
+    for gf, gx, name in zip(vjp_f(g), vjp_x(g), "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   atol=5e-5, err_msg=f"d{name} Sq=600")
+
+
 def test_flash_backward_through_training_loss():
     """End-to-end gradient through a jitted loss using flash attention."""
     import jax

@@ -44,6 +44,26 @@ def test_ln_modulate_grads_match_unfused():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_ln_modulate_kernel_interpret_matches_fallback():
+    """The actual Pallas kernel (interpret mode) == the jnp fallback."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)) * 2, jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    sc = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    kern = ln_modulate(x, sh, sc, interpret=True)
+    fall = ln_modulate(x, sh, sc)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(fall),
+                               atol=1e-6, rtol=1e-6)
+    # bf16 stream: kernel and fallback must round identically (both do
+    # the modulate arithmetic in f32 and cast once)
+    xb, shb, scb = (a.astype(jnp.bfloat16) for a in (x, sh, sc))
+    kb = ln_modulate(xb, shb, scb, interpret=True)
+    fb = ln_modulate(xb, shb, scb)
+    assert kb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(kb, np.float32),
+                                  np.asarray(fb, np.float32))
+
+
 def test_ln_modulate_bf16_stream():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((1, 8, 128)), jnp.bfloat16)
@@ -51,7 +71,14 @@ def test_ln_modulate_bf16_stream():
     sc = jnp.asarray(rng.standard_normal((1, 128)), jnp.bfloat16)
     out = ln_modulate(x, sh, sc)
     assert out.dtype == jnp.bfloat16
-    ref = _unfused(x, sh, sc, jnp.bfloat16)
+    # reference: the same f32 LN->modulate chain with one final cast
+    y = _unfused(x, sh, sc, jnp.float32)
+    ref = y.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+    # and it stays within one bf16 rounding of the unfused
+    # cast-then-modulate composition
+    loose = _unfused(x, sh, sc, jnp.bfloat16)
     np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32),
-        atol=2e-2)
+        np.asarray(out, np.float32), np.asarray(loose, np.float32),
+        rtol=1.6e-2, atol=1e-2)

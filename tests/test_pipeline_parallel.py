@@ -109,6 +109,52 @@ def test_pp_dp_train_step_matches_single_device():
                                atol=2e-6)
 
 
+@pytest.mark.slow
+def test_pp_forward_quant_matches_single_device():
+    """quant=True pipelines (ADVICE r1: _block_of must forward the flag,
+    else apply fails with an opaque param-tree mismatch)."""
+    from topiaxl.models import quantize_dit_params
+
+    model, params = _model_and_params(depth=4)
+    qmodel = model.clone(quant=True)
+    qparams = quantize_dit_params(model, params)
+    x, t, y = _batch(B=4)
+    ref = qmodel.apply(qparams, x, t, y)
+
+    mesh = make_mesh({"pp": 4})
+    pp_params = shard_pp_params(
+        stack_dit_params(qparams, qmodel.depth), mesh)
+    fwd = jax.jit(make_pp_forward(qmodel, mesh, n_micro=2))
+    with mesh:
+        out = fwd(pp_params, x, t, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_pp_forward_dots_remat_matches_and_rejects_unknown():
+    """remat='dots' must use the named-policy checkpoint (not degrade to
+    full-block remat) and unknown remat strings must raise (ADVICE r1)."""
+    model, params = _model_and_params(depth=4)
+    dmodel = model.clone(remat="dots")
+    x, t, y = _batch(B=4)
+    ref = model.apply(params, x, t, y)
+
+    mesh = make_mesh({"pp": 4})
+    pp_params = shard_pp_params(stack_dit_params(params, model.depth), mesh)
+    fwd = jax.jit(make_pp_forward(dmodel, mesh, n_micro=2))
+    with mesh:
+        out = fwd(pp_params, x, t, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    bad = model.clone(remat="everything")
+    with pytest.raises(ValueError, match="remat"):
+        with mesh:
+            jax.jit(make_pp_forward(bad, mesh, n_micro=2))(
+                pp_params, x, t, y)
+
+
 def test_pp_params_actually_sharded():
     """Each pp rank holds depth/pp layers (the memory point of pp)."""
     model, params = _model_and_params(depth=4)

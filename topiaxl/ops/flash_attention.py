@@ -326,6 +326,17 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
+    # The saved lse was folded with the FORWARD's block_q (1024), which
+    # can differ from this pass's (512) for 512 < Sq < 1024: the
+    # forward's sq_p would be ceil8(Sq) while ours would round up to
+    # 1024, making the second lse/delta block read past the array. The
+    # forward's padded length is authoritative — it is lse.shape[1].
+    assert lse.shape[1] >= Sq and lse.shape[1] % 8 == 0, (
+        f"lse length {lse.shape[1]} inconsistent with Sq={Sq}")
+    sq_p = lse.shape[1]
+    block_q = min(block_q, sq_p)
+    if sq_p % block_q:
+        block_q = sq_p  # single q block (shapes below flagship)
     dkv_block_q = min(dkv_block_q, sq_p)
     if sq_p % dkv_block_q:
         dkv_block_q = block_q  # _fold_sizes guarantees this divides sq_p

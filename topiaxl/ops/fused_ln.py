@@ -8,12 +8,13 @@ over the [B, N, D] stream (measured 6.3 ms of a 52 ms step); fused in
 one kernel the stream is read once and written once (~2 ms at v5e HBM
 bandwidth).
 
-Numerics: stats and the modulation arithmetic are f32; the output is
-cast to the requested dtype (the bf16 residual stream). Off-TPU the op
-falls back to the same math in plain jnp (keeping CPU tests exact and
-fast — interpret-mode Pallas is slow). The backward is the analytic
-LN+modulate VJP in plain XLA (the elementwise chain fuses fine there;
-only the forward is on the 84x hot path).
+Numerics: stats AND the modulation arithmetic are f32 on every backend;
+the output is cast once to the requested dtype (the bf16 residual
+stream). The off-TPU fallback performs the identical f32 chain in plain
+jnp (keeping CPU tests exact and fast — interpret-mode Pallas is slow),
+so kernel and fallback agree to the final rounding. The backward is the
+analytic LN+modulate VJP in plain XLA (the elementwise chain fuses fine
+there; only the forward is on the 84x hot path).
 """
 
 from __future__ import annotations
@@ -44,16 +45,17 @@ def _ln(x, eps):
     return (x32 - mu) * jax.lax.rsqrt(var + eps)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _ln_modulate(x, shift, scale, eps, out_dtype, block_n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ln_modulate(x, shift, scale, eps, out_dtype, block_n, interpret):
     B, N, D = x.shape
     on_tpu = jax.default_backend() == "tpu"
-    if not (on_tpu and D % 128 == 0 and N % 8 == 0):
-        # reference math (bit-exact with models/layers.LayerNormF32 +
-        # modulate): stats f32, stream cast to out_dtype before modulate
-        y = _ln(x, eps).astype(out_dtype)
-        s = scale.astype(out_dtype)[:, None, :]
-        return y * (1 + s) + shift.astype(out_dtype)[:, None, :]
+    if not ((on_tpu or interpret) and D % 128 == 0 and N % 8 == 0):
+        # same chain as the kernel: LN stats and modulate both in f32,
+        # one cast at the end
+        y = _ln(x, eps)
+        s = scale.astype(jnp.float32)[:, None, :]
+        sh = shift.astype(jnp.float32)[:, None, :]
+        return (y * (1.0 + s) + sh).astype(out_dtype)
 
     bn = min(block_n, N)
     while N % bn:
@@ -75,15 +77,16 @@ def _ln_modulate(x, shift, scale, eps, out_dtype, block_n):
         ],
         out_specs=pl.BlockSpec((1, bn, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(x, shift[:, None, :], scale[:, None, :])
 
 
-def _fwd(x, shift, scale, eps, out_dtype, block_n):
-    return _ln_modulate(x, shift, scale, eps, out_dtype, block_n), (
-        x, shift, scale)
+def _fwd(x, shift, scale, eps, out_dtype, block_n, interpret):
+    return _ln_modulate(x, shift, scale, eps, out_dtype, block_n,
+                        interpret), (x, shift, scale)
 
 
-def _bwd(eps, out_dtype, block_n, res, g):
+def _bwd(eps, out_dtype, block_n, interpret, res, g):
     x, shift, scale = res
     y = _ln(x, eps)                                   # [B, N, D] f32
     g32 = g.astype(jnp.float32)
@@ -103,11 +106,15 @@ _ln_modulate.defvjp(_fwd, _bwd)
 
 
 def ln_modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray,
-                eps: float = 1e-6, out_dtype=None,
-                block_n: int = 256) -> jnp.ndarray:
+                eps: float = 1e-6, out_dtype=None, block_n: int = 256,
+                interpret: bool = False) -> jnp.ndarray:
     """x [B, N, D], shift/scale [B, D] -> [B, N, D] in ``out_dtype``
-    (default: x.dtype). Equals
-    ``modulate(LayerNormF32(out_dtype=...)(x), shift, scale)``.
+    (default: x.dtype). The whole LN->modulate chain runs in f32 with a
+    single final cast, i.e. within one rounding of
+    ``modulate(LayerNormF32(out_dtype=...)(x), shift, scale)`` (exactly
+    equal when out_dtype is f32). ``interpret=True`` forces the Pallas
+    kernel in interpret mode so CPU tests exercise the kernel path.
     """
     return _ln_modulate(x, shift, scale, eps,
-                        jnp.dtype(out_dtype or x.dtype), block_n)
+                        jnp.dtype(out_dtype or x.dtype), block_n,
+                        interpret)

@@ -94,6 +94,7 @@ def _block_of(model):
         proj_bias=model.attn_proj_bias,
         dtype=model.dtype,
         attn_backend=model.attn_backend,
+        quant=model.quant,
     )
 
 
@@ -120,7 +121,22 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int,
             carry = blk.apply({"params": layer_p}, carry, kv, t_emb)
             return carry, None
 
-        if model.remat:
+        # mirror DiT.setup's remat modes exactly (False / True / 'dots');
+        # 'dots' is truthy, so a plain `if model.remat` would silently
+        # degrade it to full-block recompute (ADVICE r1)
+        if model.remat == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse"),
+                ),
+            )
+        elif isinstance(model.remat, str):
+            raise ValueError(
+                f"remat={model.remat!r}: expected False, True, or 'dots'")
+        elif model.remat:
             body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, stacked_local)
         return h
