@@ -1,0 +1,255 @@
+"""Cross-implementation parity against the ACTUAL reference code
+(VERDICT r1 item 1).
+
+Unlike tests/test_model_parity.py (which reconstructs the reference
+architecture from its spec), these tests import and run
+/root/reference's own torch modules on CPU — GaussianDiffusion +
+SpacedDiffusion DDIM (models/diffusion/gaussian_diffusion.py:651-698),
+DiT.forward_with_cfg (models/dit_crossattn.py:204-213), VAE
+decode/encode (models/vae3d_dib.py:431-453), PrimSDF.forward
+(models/primsdf.py:52-102) — sharing weights via topiaxl.core.convert,
+and assert topiaxl's full chain matches. If the SURVEY spec was misread
+anywhere, these fail where spec-reconstructed tests could not.
+
+The committed fixture tests/goldens/reference_chain_v1.npz pins the
+reference chain's outputs; test_fixture_matches_live_reference guards
+the fixture against rot, the rest compare topiaxl against it.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import reference_runtime as rr
+from topiaxl.core import convert
+from topiaxl.diffusion import create_diffusion, gaussian
+from topiaxl.models import DiT, VAE3D
+from topiaxl.models import primx as primx_mod
+from topiaxl.pipelines.infer import decode_primx, denormalize_tokens
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "goldens",
+                       "reference_chain_v1.npz")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return rr.load()
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return np.load(FIXTURE)
+
+
+def _state_dict(fx, which):
+    import torch
+
+    pre = f"sd.{which}."
+    return {k[len(pre):]: torch.from_numpy(fx[k])
+            for k in fx.files if k.startswith(pre)}
+
+
+def _reference_models_from_fixture(ref, fx):
+    dit, vae = rr.build_reference_models(ref, seed=0)
+    dit.load_state_dict(_state_dict(fx, "dit"))
+    vae.load_state_dict(_state_dict(fx, "vae"))
+    return dit, vae
+
+
+def _topiaxl_dit(fx):
+    model = DiT(
+        seq_length=rr.TINY["num_prims"], in_channels=rr.TINY["in_channels"],
+        condition_channels=rr.TINY["cond_channels"],
+        hidden_size=rr.TINY["hidden"], depth=rr.TINY["depth"],
+        num_heads=rr.TINY["heads"], dtype=jnp.float32,
+    )
+    params = convert.convert_dit(_state_dict(fx, "dit"),
+                                 depth=rr.TINY["depth"])
+    params = jax.tree.map(jnp.asarray, params)
+    return model, params
+
+
+def _topiaxl_vae(fx):
+    model = VAE3D(down_channels=(32, 64), up_channels=(64, 32),
+                  dtype=jnp.float32)
+    params = convert.convert_vae(_state_dict(fx, "vae"),
+                                 down_channels=(32, 64),
+                                 up_channels=(64, 32))
+    params = jax.tree.map(jnp.asarray, params)
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# fixture freshness
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_fixture_matches_live_reference(ref, fx):
+    """Rerunning the reference's own code must reproduce the committed
+    fixture exactly — guards fixture rot and torch-version drift."""
+    dit, vae = _reference_models_from_fixture(ref, fx)
+    out = rr.run_reference_chain(ref, dit, vae, fx["noise"], fx["y"],
+                                 fx["latent_mean"], fx["latent_std"])
+    for k, got in out.items():
+        np.testing.assert_allclose(
+            got, fx[f"out.{k}"], atol=1e-6, rtol=1e-6,
+            err_msg=f"reference chain output {k} drifted vs fixture")
+
+
+# ---------------------------------------------------------------------------
+# unit parity (localize failures before the whole-chain assert)
+# ---------------------------------------------------------------------------
+
+def test_dit_forward_matches_reference(ref, fx):
+    import torch
+
+    dit_t, _ = _reference_models_from_fixture(ref, fx)
+    model, params = _topiaxl_dit(fx)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(
+        (2, rr.TINY["num_prims"], rr.TINY["in_channels"])).astype(np.float32)
+    t = np.array([3, 977], np.int64)
+    y = rng.standard_normal(
+        (2, rr.TINY["cond_tokens"], rr.TINY["cond_channels"])
+    ).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = dit_t(torch.from_numpy(x), torch.from_numpy(t),
+                        torch.from_numpy(y)).numpy()
+        ref_cfg = dit_t.forward_with_cfg(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(y),
+            cfg_scale=6.0).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x),
+                                 jnp.asarray(t), jnp.asarray(y)))
+    got_cfg = np.asarray(model.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(y), 6.0,
+        method=DiT.forward_with_cfg))
+    np.testing.assert_allclose(got, ref_out, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_cfg, ref_cfg, atol=2e-4, rtol=1e-3)
+
+
+def test_vae_matches_reference(ref, fx):
+    import torch
+
+    _, vae_t = _reference_models_from_fixture(ref, fx)
+    model, params = _topiaxl_vae(fx)
+
+    rng = np.random.default_rng(2)
+    z = rng.standard_normal((8, 1, 4, 4, 4)).astype(np.float32)
+    x = rng.standard_normal((8, 6, 8, 8, 8)).astype(np.float32)
+
+    with torch.no_grad():
+        dec_ref = vae_t.decode(torch.from_numpy(z)).numpy()  # [B, 6, 8,8,8]
+        post = vae_t.encode(torch.from_numpy(x))
+        enc_mean_ref = post.mean.numpy()                     # [B, 1, 4,4,4]
+        enc_logvar_ref = post.logvar.numpy()
+
+    # NCDHW -> NDHWC for topiaxl, back for the compare
+    dec = model.apply(params, jnp.asarray(z.transpose(0, 2, 3, 4, 1)),
+                      method=VAE3D.decode)
+    dec = np.asarray(dec).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(dec, dec_ref, atol=5e-5, rtol=1e-4)
+
+    posterior = model.apply(params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                            method=VAE3D.encode)
+    enc_mean = np.asarray(posterior.mean).transpose(0, 4, 1, 2, 3)
+    enc_logvar = np.asarray(posterior.logvar).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(enc_mean, enc_mean_ref, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(enc_logvar, enc_logvar_ref,
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_primsdf_query_matches_reference(ref):
+    """Field query vs the reference's PrimSDF.forward (dynamic
+    gather/index_add_ there, dense top-K here), covered + uncovered +
+    overlap cases on random parameters."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    N, S, C = 24, 8, 6
+    srt = np.concatenate([
+        rng.uniform(0.08, 0.35, (N, 1)),          # scale
+        rng.uniform(-0.6, 0.6, (N, 3)),           # pos
+    ], axis=1).astype(np.float32)
+    feat = (rng.standard_normal((N, C * S**3)) * 0.3).astype(np.float32)
+
+    prim = ref.primsdf.PrimSDF(num_prims=N, dim_feat=C, prim_shape=S)
+    with torch.no_grad():
+        prim.srt_param.copy_(torch.from_numpy(srt))
+        prim.feat_param.copy_(torch.from_numpy(feat))
+    prim.eval()
+    pts = rr.grid_points(13)
+    with torch.no_grad():
+        preds = prim(torch.from_numpy(pts))
+
+    params = primx_mod.PrimXParams(srt=jnp.asarray(srt),
+                                   feat=jnp.asarray(feat))
+    got = primx_mod.query(params, jnp.asarray(pts), dim_feat=C,
+                          prim_shape=S, top_k=N)
+    np.testing.assert_allclose(np.asarray(got["sdf"]),
+                               preds["sdf"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["tex"]),
+                               preds["tex"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["mat"]),
+                               preds["mat"].numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# whole chain
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_chain_matches_reference_fixture(fx):
+    """topiaxl DDIM(cfg) -> denorm -> VAE decode -> field query must
+    match the reference chain's committed outputs end to end."""
+    model, params = _topiaxl_dit(fx)
+    vae, vae_params = _topiaxl_vae(fx)
+    diffusion = create_diffusion(
+        timestep_respacing=rr.TINY["ddim"],
+        noise_schedule="squaredcos_cap_v2", parameterization="v",
+        learn_sigma=True)
+
+    noise = jnp.asarray(fx["noise"])
+    y = jnp.asarray(fx["y"])
+    null = params["params"]["null_cond_embedding"]
+    y_pair = jnp.concatenate(
+        [y, jnp.broadcast_to(null[None, None, :], y.shape)], axis=0)
+    kvs = model.apply(params, y_pair, method=DiT.precompute_kv)
+
+    def model_fn(x, t):
+        return model.apply(params, x, t, kvs, rr.TINY["cfg"],
+                           method=DiT.forward_with_cfg_kv)
+
+    out = gaussian.ddim_sample_loop(diffusion, model_fn, noise,
+                                    jax.random.PRNGKey(0),
+                                    clip_denoised=False)
+    tokens = np.asarray(out.sample)
+    np.testing.assert_allclose(tokens, fx["out.tokens"],
+                               atol=5e-5, rtol=1e-3,
+                               err_msg="DDIM chain tokens diverge")
+
+    recon = denormalize_tokens(jnp.asarray(tokens),
+                               jnp.asarray(fx["latent_mean"]),
+                               jnp.asarray(fx["latent_std"]),
+                               rr.TINY["latent_nf"])
+    srt, feat = decode_primx(vae, vae_params, recon,
+                             num_prims=rr.TINY["num_prims"])
+    np.testing.assert_allclose(np.asarray(srt), fx["out.srt"], atol=5e-5,
+                               err_msg="srt after decode diverges")
+    np.testing.assert_allclose(np.asarray(feat), fx["out.feat"], atol=2e-4,
+                               err_msg="decoded payload diverges")
+
+    pparams = primx_mod.PrimXParams(srt=jnp.asarray(srt[0]),
+                                    feat=jnp.asarray(feat[0]))
+    pts = jnp.asarray(rr.grid_points(rr.TINY["grid_res"]))
+    got = primx_mod.query(pparams, pts, top_k=rr.TINY["num_prims"])
+    np.testing.assert_allclose(np.asarray(got["sdf"]), fx["out.sdf"],
+                               atol=5e-4, err_msg="SDF grid diverges")
+    np.testing.assert_allclose(np.asarray(got["tex"]), fx["out.tex"],
+                               atol=5e-4, err_msg="texture diverges")
+    np.testing.assert_allclose(np.asarray(got["mat"]), fx["out.mat"],
+                               atol=5e-4, err_msg="material diverges")
