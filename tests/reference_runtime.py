@@ -26,37 +26,9 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def _install_stubs():
-    if "xformers" not in sys.modules:
-        import torch
+    from topiaxl.core.refverify import install_reference_stubs
 
-        def memory_efficient_attention(q, k, v, attn_bias=None, p=0.0,
-                                       scale=None, op=None):
-            # q/k/v: [B, S, H, hd]; softmax(q k^T * scale) v, the exact
-            # math xformers computes (default scale hd**-0.5)
-            assert attn_bias is None and p == 0.0
-            if scale is None:
-                scale = q.shape[-1] ** -0.5
-            qt = q.permute(0, 2, 1, 3)
-            kt = k.permute(0, 2, 1, 3)
-            vt = v.permute(0, 2, 1, 3)
-            att = torch.softmax(qt @ kt.transpose(-1, -2) * scale, dim=-1)
-            return (att @ vt).permute(0, 2, 1, 3)
-
-        xf = types.ModuleType("xformers")
-        xf_ops = types.ModuleType("xformers.ops")
-        xf_ops.memory_efficient_attention = memory_efficient_attention
-        xf_ops.unbind = torch.unbind
-        xf.ops = xf_ops
-        sys.modules["xformers"] = xf
-        sys.modules["xformers.ops"] = xf_ops
-    if "trimesh" not in sys.modules:
-        tm = types.ModuleType("trimesh")
-
-        def _unavailable(*a, **k):  # pragma: no cover
-            raise RuntimeError("trimesh stub: not available in tests")
-
-        tm.load = _unavailable
-        sys.modules["trimesh"] = tm
+    install_reference_stubs()
 
 
 def load():
