@@ -267,11 +267,32 @@ def bench_fidelity():
     pts = jnp.asarray(xyz_map[ys[sub], xs[sub]], jnp.float32)
     out = primx_lib.query(params, pts, top_k=32, with_fallback=False,
                           outputs=("tex",))
-    return {
+    result = {
         "albedo_psnr_db": round(_psnr(tex[ys[sub], xs[sub]],
                                       np.asarray(out["tex"])), 1),
         "geometry_p99_dev": round(float(np.percentile(dev, 99)), 5),
     }
+    # UV atlas quality on the same extracted mesh (VERDICT r1 item 7):
+    # geometric stretch (Sander et al. 2001; 1.0 == isometric) for the
+    # fast box path vs the quality LSCM path (the xatlas "Better" slot)
+    from topiaxl.extract import quality_uv_unwrap
+    from topiaxl.extract.uv_unwrap import (
+        box_projection_uv_unwrap, compute_vertex_normal, uv_metrics,
+    )
+
+    f64 = faces.astype(np.int64)
+    vn = compute_vertex_normal(verts, f64)
+    mb = uv_metrics(verts, f64, *box_projection_uv_unwrap(verts, vn, f64))
+    mq = uv_metrics(verts, f64, *quality_uv_unwrap(verts, vn, f64))
+    result.update({
+        "uv_stretch_l2_box": round(mb["stretch_l2"], 4),
+        "uv_stretch_l2_lscm": round(mq["stretch_l2"], 4),
+        "uv_stretch_linf_box": round(mb["stretch_linf"], 3),
+        "uv_stretch_linf_lscm": round(mq["stretch_linf"], 3),
+        "uv_coverage_lscm": round(mq["coverage"], 3),
+        "uv_charts_lscm": mq["charts"],
+    })
+    return result
 
 
 if __name__ == "__main__":

@@ -332,6 +332,41 @@ def test_quality_uv_unwrap_lscm():
     assert mask.mean() > 0.15
 
 
+def test_uv_metrics_lscm_beats_box(sphere_mesh):
+    """Quantitative unwrap quality (VERDICT r1 item 7): on a curved
+    surface the LSCM ("Better") path must beat box projection on
+    geometric stretch, with sane coverage and near-zero flips — the
+    relationship xatlas has to the reference's fast path."""
+    from topiaxl.extract import quality_uv_unwrap
+    from topiaxl.extract.uv_unwrap import uv_metrics
+
+    v, f = sphere_mesh
+    vn = compute_vertex_normal(v, f)
+    uv_b, idx_b = box_projection_uv_unwrap(v, vn, f, 0.02)
+    uv_q, idx_q = quality_uv_unwrap(v, vn, f)
+    mb = uv_metrics(v, f, uv_b, idx_b)
+    mq = uv_metrics(v, f, uv_q, idx_q)
+
+    # identity map sanity: a flat unit square unwrapped to itself is
+    # isometric (stretch exactly 1, coverage 1, one chart)
+    sq_v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    sq_f = np.array([[0, 1, 2], [0, 2, 3]])
+    sq_uv = sq_v[:, :2].astype(np.float32)
+    mi = uv_metrics(sq_v, sq_f, sq_uv, sq_f)
+    assert abs(mi["stretch_l2"] - 1.0) < 1e-6
+    assert abs(mi["coverage"] - 1.0) < 1e-6
+    assert mi["charts"] == 1 and mi["flipped"] == 0.0
+
+    # both unwraps are valid
+    for m in (mb, mq):
+        assert m["flipped"] <= 0.02, m
+        assert m["stretch_l2"] >= 1.0 - 1e-9, m
+        assert 0.1 < m["coverage"] <= 1.0, m
+    # conformal charts distort less than axis projections on a sphere
+    assert mq["stretch_l2"] < mb["stretch_l2"], (mq, mb)
+    assert mq["stretch_linf"] < mb["stretch_linf"], (mq, mb)
+
+
 def test_glb_normals_attribute(tmp_path, sphere_mesh):
     """Vertex normals carried through export (VERDICT r1 missing #8)."""
     v, f = sphere_mesh

@@ -97,6 +97,90 @@ def box_projection_uv_unwrap(
     return pack_islands(islands, len(f), island_padding)
 
 
+def uv_metrics(v: np.ndarray, f: np.ndarray, uv: np.ndarray,
+               indices: np.ndarray) -> dict:
+    """Quantitative atlas quality (VERDICT r1 item 7) — the numbers
+    xatlas reports for the reference's "Better" path
+    (reference inference.py:152-160):
+
+    * ``stretch_l2`` / ``stretch_linf`` — geometric-stretch metric of
+      Sander et al. 2001 over the UV->3D map, after globally rescaling
+      UV so total UV area == total 3D area (1.0 == isometric; lower is
+      better, <1 impossible for l2 on curved surfaces).
+    * ``coverage`` — fraction of the unit-square atlas covered by
+      triangles (higher packs more texels onto the surface).
+    * ``charts`` — number of connected components in UV index space.
+    * ``flipped`` — fraction of triangles whose UV orientation disagrees
+      with their chart's majority (a whole mirrored chart — the box
+      path's back faces — is fine for baking; an internal fold is not).
+    """
+    v = np.asarray(v, np.float64)
+    uvc = np.asarray(uv, np.float64)[indices]        # [F, 3, 2]
+    p = np.asarray(v, np.float64)[f]                 # [F, 3, 3]
+
+    # per-face areas
+    e1, e2 = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]
+    a3 = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    q1, q2 = uvc[:, 1] - uvc[:, 0], uvc[:, 2] - uvc[:, 0]
+    det = q1[:, 0] * q2[:, 1] - q1[:, 1] * q2[:, 0]
+    a2 = 0.5 * np.abs(det)
+
+    # charts first (needed for the per-chart fold measure): connected
+    # components over shared uv indices
+    parent = np.arange(len(uv))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for tri in indices:
+        r = find(tri[0])
+        for k in tri[1:]:
+            rk = find(k)
+            if rk != r:
+                parent[rk] = r
+    roots = np.array([find(i) for i in indices[:, 0]])
+    charts = len(np.unique(roots))
+
+    n_flipped = 0
+    for r in np.unique(roots):
+        s = np.sign(det[roots == r])
+        dom = np.sign(s.sum()) or 1
+        n_flipped += int(np.sum(s != dom))
+    flipped = float(n_flipped / max(len(f), 1))
+
+    # global scale: total UV area -> total 3D area
+    s = np.sqrt(a3.sum() / max(a2.sum(), 1e-18))
+    ok = (a2 > 1e-14) & (a3 > 1e-14)
+
+    # UV->3D Jacobian per face: solve [q1; q2]^T -> [e1; e2]
+    # Ss/St partials (Sander et al. eq. 2-3), with UV scaled by s
+    q1s, q2s = q1[ok] * s, q2[ok] * s
+    dets = q1s[:, 0] * q2s[:, 1] - q1s[:, 1] * q2s[:, 0]
+    e1o, e2o = e1[ok], e2[ok]
+    Ss = (q2s[:, 1, None] * e1o - q1s[:, 1, None] * e2o) / dets[:, None]
+    St = (-q2s[:, 0, None] * e1o + q1s[:, 0, None] * e2o) / dets[:, None]
+    aa = np.einsum("ij,ij->i", Ss, Ss)
+    bb = np.einsum("ij,ij->i", St, St)
+    ab = np.einsum("ij,ij->i", Ss, St)
+    tr = aa + bb
+    disc = np.sqrt(np.maximum((aa - bb) ** 2 + 4 * ab * ab, 0.0))
+    sig_max = np.sqrt(np.maximum((tr + disc) / 2, 0.0))
+    w = a3[ok] / a3[ok].sum()
+    stretch_l2 = float(np.sqrt(np.sum(w * tr / 2)))
+    stretch_linf = float(sig_max.max()) if len(sig_max) else float("inf")
+
+    return {
+        "stretch_l2": stretch_l2,
+        "stretch_linf": stretch_linf,
+        "coverage": float(a2.sum()),
+        "charts": int(charts),
+        "flipped": flipped,
+    }
+
+
 def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
     """Shelf-pack per-island 2D parameterizations into one atlas.
 
