@@ -70,12 +70,19 @@ class App:
 
     def preprocess(self, image_path: str, remove_bg: bool = True,
                    foreground_ratio: float = 0.85):
-        """Matte + recenter (reference app.py background-removal stage)."""
+        """Matte + recenter (reference app.py background-removal stage).
+        Uses U^2-Net when ``inference.u2net_checkpoint`` weights exist
+        (the network the reference's rembg stage runs), else GrabCut."""
         from topiaxl.cli.infer import prepare_image
+        from topiaxl.ops.matting import load_u2net
 
+        if not hasattr(self, "_matter"):
+            self._matter = load_u2net(
+                self.cfg.get("inference", {}).get("u2net_checkpoint", ""))
         self.prepared = prepare_image(
             image_path, foreground_ratio,
-            matting="auto" if remove_bg else "threshold")
+            matting="auto" if remove_bg else "threshold",
+            matter=self._matter)
         return self.prepared
 
     # -- stage 2: generate ---------------------------------------------------

@@ -93,6 +93,12 @@ def convert_all(cfg, out_dir: str, verify: bool = False,
             verifiers["dinov2"] = (
                 lambda ref, sd=sd, enc=conditioner.encoder, tree=tree:
                 _refverify().verify_dinov2(sd, enc, tree))
+    u2net_path = cfg.get("inference", {}).get("u2net_checkpoint", "")
+    if u2net_path and not os.path.isdir(u2net_path):
+        from topiaxl.core.convert import convert_u2net
+
+        sd = load_torch_checkpoint(u2net_path)
+        save("u2net", convert_u2net(sd), u2net_path)
     if not written:
         logger.warning("no checkpoint paths in config; nothing converted")
     if verify and written:

@@ -20,15 +20,16 @@ logger = logging.getLogger("topiaxl.infer")
 
 
 def prepare_image(path: str, foreground_ratio: float = 0.85,
-                  matting: str = "auto") -> np.ndarray:
+                  matting: str = "auto", matter=None) -> np.ndarray:
     """Load, matte, recenter (reference inference.py:33-84, 306-311).
 
-    Matting order (the reference uses rembg/U^2-Net, unavailable here):
-    an existing alpha channel wins; otherwise GrabCut foreground
-    segmentation (ops/matting.py) handles real photographs; a near-white
-    threshold remains as the fallback for synthetic white-background
-    renders where GrabCut degenerates. ``matting``: 'auto' | 'grabcut' |
-    'threshold'.
+    Matting order: an existing alpha channel wins; otherwise the learned
+    U^2-Net matting (``matter``, built via ops.matting.load_u2net — the
+    network rembg runs in the reference) when weights are available;
+    otherwise GrabCut segmentation for real photographs; a near-white
+    threshold remains as the final fallback for synthetic
+    white-background renders. ``matting``: 'auto' | 'u2net' | 'grabcut'
+    | 'threshold'.
     """
     import cv2
 
@@ -44,11 +45,23 @@ def prepare_image(path: str, foreground_ratio: float = 0.85,
     else:
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         alpha = None
-        if matting in ("auto", "grabcut"):
+        if matting == "u2net" and matter is None:
+            raise ValueError(
+                "matting='u2net' but no U^2-Net weights were loaded "
+                "(set inference.u2net_checkpoint)")
+        if matting in ("auto", "u2net") and matter is not None:
+            alpha = matter(rgb)
+            # saliency maps are soft; binarize faint backgrounds away
+            alpha = np.where(alpha > 32, alpha, 0).astype(np.uint8)
+            if not (alpha > 0).any():
+                alpha = None
+        if alpha is None and matting in ("auto", "grabcut"):
             alpha = remove_background(rgb)
         if alpha is None:
             if matting == "grabcut":
                 raise ValueError(f"grabcut matting degenerated on {path}")
+            if matting == "u2net":
+                raise ValueError(f"u2net matting found nothing in {path}")
             bg = (rgb.astype(np.int32).sum(-1) > 3 * 247)
             alpha = np.where(bg, 0, 255).astype(np.uint8)
         rgba = np.dstack([rgb, alpha])
@@ -232,11 +245,19 @@ def main(argv=None):
     )
     logger.info("running inference on %d images", len(img_list))
 
+    from topiaxl.ops.matting import load_u2net
+
+    matter = load_u2net(cfg.inference.get("u2net_checkpoint", ""))
+    matting = cfg.inference.get("matting", "auto")
+    if matter is not None:
+        logger.info("matting: U^2-Net (%s)", matter.model.arch)
+
     for name in img_list:
         stem = os.path.splitext(name)[0]
         out_dir = os.path.join(inference_dir, stem)
         os.makedirs(out_dir, exist_ok=True)
-        image = prepare_image(os.path.join(img_dir, name))
+        image = prepare_image(os.path.join(img_dir, name),
+                              matting=matting, matter=matter)
         y = conditioner.encode_image(jnp.asarray(image[None]))
 
         key, gen_key = jax.random.split(key)

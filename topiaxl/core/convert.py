@@ -200,6 +200,58 @@ def convert_dinov2(sd: Mapping, depth: int = 12) -> dict:
     return {"params": p}
 
 
+def conv2d_bn_folded(sd: Mapping, conv: str, bn: str,
+                     eps: float = 1e-5) -> dict:
+    """torch Conv2d + eval-mode BatchNorm2d -> one flax Conv.
+
+    Eval BN is affine: y = (x - mean) / sqrt(var + eps) * gamma + beta.
+    Folding: W' = W * s[out], b' = (b - mean) * s + beta with
+    s = gamma / sqrt(var + eps). Exact (fp roundoff only)."""
+    w = _np(sd[f"{conv}.weight"])  # [out, in, kh, kw]
+    b = _np(sd[f"{conv}.bias"]) if f"{conv}.bias" in sd else 0.0
+    gamma = _np(sd[f"{bn}.weight"])
+    beta = _np(sd[f"{bn}.bias"])
+    mean = _np(sd[f"{bn}.running_mean"])
+    var = _np(sd[f"{bn}.running_var"])
+    s = gamma / np.sqrt(var + eps)
+    return {
+        "kernel": (w * s[:, None, None, None]).transpose(2, 3, 1, 0),
+        "bias": (b - mean) * s + beta,
+    }
+
+
+def conv2d(sd: Mapping, prefix: str) -> dict:
+    w = _np(sd[f"{prefix}.weight"])  # [out, in, kh, kw]
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_u2net(sd: Mapping) -> dict:
+    """torch U^2-Net state_dict (official u2net/u2netp layout, the
+    weights rembg ships) -> flax params with BN folded into each conv.
+
+    Works for both arches: module names are discovered from the keys
+    (stage*.rebnconv*.conv_s1 + side1..6 + outconv)."""
+    p: Dict = {}
+    for key in sd:
+        if not key.endswith(".conv_s1.weight"):
+            continue
+        mod = key[: -len(".conv_s1.weight")]  # e.g. stage1.rebnconv4d
+        parts = mod.split(".")
+        node = p
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = {
+            "conv": conv2d_bn_folded(sd, f"{mod}.conv_s1", f"{mod}.bn_s1")
+        }
+    for i in range(1, 7):
+        p[f"side{i}"] = conv2d(sd, f"side{i}")
+    p["outconv"] = conv2d(sd, "outconv")
+    return {"params": p}
+
+
 def load_torch_checkpoint(path: str, key: str | None = None) -> dict:
     """Load a torch .pt/.pth checkpoint on CPU, optionally unwrapping a
     top-level key ('ema' for DiT, 'model_state_dict' for VAE)."""

@@ -1,18 +1,80 @@
 """Foreground matting for input photos.
 
-The reference mattes with rembg/U^2-Net (inference.py:10, 298, 306-311),
-which needs downloaded ONNX weights. This module provides the same
-pipeline role with a classical robust method: GrabCut (GMM-based
-graph-cut segmentation) initialized with the image border as definite
-background — the standard assumption for object-centric input photos.
-Degenerate results (near-empty / near-full mattes) are detected and
-reported as None so callers can fall back (e.g. to a near-white
-threshold for renders on synthetic white backgrounds).
+The reference mattes with rembg/U^2-Net (inference.py:10, 298, 306-311).
+Two paths here:
+
+* ``remove_background_u2net`` — the same neural matting, TPU-native:
+  the flax U^2-Net (models/matting_u2net.py) run with converted official
+  weights (core.convert.convert_u2net), with rembg's pre/post-processing
+  (320^2 ImageNet-normalized input, min-max rescaled saliency alpha).
+  Used when weights are available (``load_u2net``).
+* ``remove_background`` — classical fallback: GrabCut (GMM graph cut)
+  initialized with the image border as definite background. Degenerate
+  results (near-empty / near-full mattes) return None so callers can
+  fall back further (e.g. near-white threshold for synthetic renders).
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+_U2NET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_U2NET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class U2NetMatting:
+    """U^2-Net + params, callable rgb [H, W, 3] uint8 -> alpha uint8."""
+
+    def __init__(self, params, arch: str = "u2net", input_size: int = 320):
+        import jax
+
+        from ..models.matting_u2net import U2Net
+
+        self.model = U2Net(arch=arch)
+        self.params = params
+        self.input_size = input_size
+        self._predict = jax.jit(self.model.apply)
+
+    def __call__(self, rgb: np.ndarray) -> np.ndarray:
+        import cv2
+
+        h, w = rgb.shape[:2]
+        s = self.input_size
+        # rembg preprocessing: scale by the image max, ImageNet-normalize
+        im = cv2.resize(rgb, (s, s), interpolation=cv2.INTER_LINEAR)
+        im = im.astype(np.float32) / max(float(im.max()), 1e-6)
+        im = (im - _U2NET_MEAN) / _U2NET_STD
+        pred = np.asarray(self._predict(self.params, im[None]))[0, ..., 0]
+        # rembg postprocessing: min-max rescale to [0, 1]
+        lo, hi = float(pred.min()), float(pred.max())
+        pred = (pred - lo) / max(hi - lo, 1e-8)
+        alpha = cv2.resize(pred, (w, h), interpolation=cv2.INTER_LINEAR)
+        return (alpha * 255).astype(np.uint8)
+
+
+def load_u2net(path: str, arch: str | None = None) -> "U2NetMatting | None":
+    """Build the neural matting from a checkpoint: either a converted
+    orbax dir (cli.convert) or a torch .pth (official U^2-Net weights,
+    converted on the fly). None when the path doesn't exist."""
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    else:
+        from ..core.convert import convert_u2net, load_torch_checkpoint
+
+        params = convert_u2net(load_torch_checkpoint(path))
+    if arch is None:
+        # u2netp's stage2 input conv is 64ch wide; full u2net's is 64->32
+        mid = np.asarray(
+            params["params"]["stage2"]["rebnconv1"]["conv"]["kernel"]
+        ).shape[-1]
+        arch = "u2netp" if mid == 16 else "u2net"
+    return U2NetMatting(params, arch=arch)
 
 
 def remove_background(
