@@ -149,15 +149,17 @@ def bench_e2e_seconds():
         float(params.feat.sum())  # sync through the tunnel
         s1 = time.perf_counter() - t0
         t0 = time.perf_counter()
+        tm = {}
         P.extract_glb(synthetic_asset(), f"/tmp/topiaxl_bench_{tag}",
                       mc_resolution=256, decimate=100000,
-                      texture_size=1024, batch_size=32768, pos_scale=1.0)
+                      texture_size=1024, batch_size=32768, pos_scale=1.0,
+                      timings_out=tm)
         s2 = time.perf_counter() - t0
-        return s1, s2
+        return s1, s2, tm
 
     one_asset("cold")
-    s1, s2 = one_asset("warm")
-    return s1, s2
+    s1, s2, tm = one_asset("warm")
+    return s1, s2, tm
 
 
 def main():
@@ -176,12 +178,14 @@ def main():
     print(json.dumps(result), flush=True)
     if os.environ.get("TOPIAXL_BENCH_FAST") != "1":
         try:
-            s1, s2 = bench_e2e_seconds()
+            s1, s2, s2_breakdown = bench_e2e_seconds()
             total = s1 + s2
             result["image_to_glb_seconds"] = round(total, 2)
             result["image_to_glb_vs_target"] = round(E2E_TARGET_S / total, 3)
             result["stage1_denoise_decode_s"] = round(s1, 2)
             result["stage2_extract_s"] = round(s2, 2)
+            # per-stage host/device breakdown (VERDICT r1 item 3)
+            result["stage2_breakdown_s"] = s2_breakdown
             # serial assets/min (BASELINE.md metric 3); the pipelined
             # serve_assets path measures higher (benchmarks/bench_serve.py)
             result["assets_per_min_serial"] = round(60.0 / total, 2)

@@ -332,6 +332,57 @@ def test_quality_uv_unwrap_lscm():
     assert mask.mean() > 0.15
 
 
+def test_sdf_grid_matches_brute_force():
+    """Coarse-to-fine sdf_grid (nearest non-band fill + single-dispatch
+    int8 band refinement) must yield the SAME isosurface topology as the
+    brute-force full-resolution grid, with vertex deviation bounded by
+    the int8 quantization step."""
+    import jax.numpy as jnp
+
+    from topiaxl.models.primx import PrimXParams, local_grid
+    from topiaxl.pipelines.infer import sdf_grid
+
+    rng = np.random.default_rng(5)
+    n = 256  # dense overlapping shell: the field is near-metric, so the
+    d = rng.standard_normal((n, 3))  # band invariant genuinely holds
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = (d * 0.5).astype(np.float32)
+    scale = np.full((n, 1), 0.16, np.float32)
+    world = pos[:, None, :] + scale[:, 0][:, None, None] * local_grid(8)[None]
+    sdf = np.linalg.norm(world, axis=2) - 0.5
+    rest = np.full((n, 5, 512), 0.5, np.float32)
+    feat = np.concatenate([sdf[:, None, :], rest], 1).reshape(n, -1)
+    params = PrimXParams(jnp.asarray(np.concatenate([scale, pos], 1)),
+                         jnp.asarray(feat.astype(np.float32)))
+
+    res = 64
+    coarse = 16
+    fine = sdf_grid(params, res, coarse=res)          # brute force
+    c2f = sdf_grid(params, res, coarse=coarse)        # coarse-to-fine
+    # signs may differ only within the band's int8 quantization step —
+    # values that round to 0 (values elsewhere, incl. the nearest-filled
+    # non-band region, must agree in sign)
+    q = 3.0 * (2.0 / (coarse - 1)) / 127.0
+    mism = np.sign(fine) != np.sign(c2f)
+    assert not mism.any() or np.abs(fine[mism]).max() < 2 * q, (
+        mism.sum(), np.abs(fine[mism]).max())
+    v1, f1 = extract_isosurface(fine)
+    v2, f2 = extract_isosurface(c2f)
+    # geometry equivalence: int8 quantization can flip signs of cells the
+    # surface passes almost exactly through, locally re-triangulating
+    # (face counts shift ~2%), but every vertex stays within a cell of
+    # the exact surface — symmetric nearest-vertex (Hausdorff) bound
+    cell = 2.0 / (res - 1)
+
+    def one_sided(a, b):  # max over a of distance-to-nearest-in-b
+        d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+        return d.min(1).max()
+
+    assert abs(len(f1) - len(f2)) < 0.05 * len(f1), (len(f1), len(f2))
+    hd = max(one_sided(v1[::7], v2), one_sided(v2[::7], v1))
+    assert hd < 1.5 * cell, hd
+
+
 def test_uv_metrics_lscm_beats_box(sphere_mesh):
     """Quantitative unwrap quality (VERDICT r1 item 7): on a curved
     surface the LSCM ("Better") path must beat box projection on

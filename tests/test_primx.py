@@ -62,6 +62,59 @@ def test_query_matches_bruteforce_dense():
     )
 
 
+def test_query_cand_idx_matches_default():
+    """Caller-provided candidates (the per-cell selection path used by
+    sdf_grid's band refinement) == the default dense-top_k query whenever
+    the candidates cover every prim touching the point."""
+    rng = np.random.default_rng(7)
+    n, s, c = 16, 4, 6
+    p = _random_params(rng, n, s, c)
+    pts = rng.uniform(-0.8, 0.8, (128, 3)).astype(np.float32)
+    x = jnp.asarray(pts)
+
+    ref = primx.query(p, x, dim_feat=c, prim_shape=s, top_k=n)
+    # all prims as candidates (trivially covering), arbitrary order
+    perm = rng.permutation(n).astype(np.int32)
+    cand = jnp.broadcast_to(jnp.asarray(perm)[None], (128, n))
+    got = primx.query(p, x, dim_feat=c, prim_shape=s, cand_idx=cand)
+    for k in ("sdf", "tex", "mat", "feat"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-5, err_msg=k)
+
+    # a strict candidate subset that still covers each point: the exact
+    # positive-weight prims, padded with DISTINCT non-covering prims
+    # (duplicates would double-count in the blend — contract)
+    w, _ = primx.prim_weights(p.srt, x)
+    w = np.asarray(w)
+    K = int((w > 0).sum(1).max()) + 1
+    cand_np = np.zeros((128, K), np.int32)
+    for i in range(128):
+        nz = np.nonzero(w[i] > 0)[0]
+        pad = np.setdiff1d(np.arange(n), nz)[: K - len(nz)]
+        cand_np[i] = np.concatenate([nz, pad])
+    got2 = primx.query(p, x, dim_feat=c, prim_shape=s,
+                       cand_idx=jnp.asarray(cand_np))
+    np.testing.assert_allclose(np.asarray(got2["feat"]),
+                               np.asarray(ref["feat"]), atol=1e-5)
+
+
+def test_query_selector_approx_api():
+    """selector='approx' (used by the texture bake) returns the same
+    results on small prim counts where approx_max_k is exhaustive, and
+    unknown selectors are rejected."""
+    import pytest
+
+    rng = np.random.default_rng(8)
+    p = _random_params(rng)
+    x = jnp.asarray(rng.uniform(-0.8, 0.8, (64, 3)).astype(np.float32))
+    ref = primx.query(p, x, prim_shape=4, top_k=8)
+    got = primx.query(p, x, prim_shape=4, top_k=8, selector="approx")
+    np.testing.assert_allclose(np.asarray(got["feat"]),
+                               np.asarray(ref["feat"]), atol=1e-5)
+    with pytest.raises(ValueError, match="selector"):
+        primx.query(p, x, prim_shape=4, selector="fast")
+
+
 def test_uncovered_fallback_sign_and_growth():
     """Far points get sdf = nearest-voxel sdf + L2 distance * sign."""
     n, s, c = 4, 4, 6

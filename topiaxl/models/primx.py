@@ -75,7 +75,8 @@ def sdf2alpha(sdf: jnp.ndarray, var: float = 0.005) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k",
-                                   "training", "with_fallback", "outputs"))
+                                   "training", "with_fallback", "outputs",
+                                   "selector"))
 def query(
     params: PrimXParams,
     x: jnp.ndarray,
@@ -85,6 +86,8 @@ def query(
     training: bool = False,
     with_fallback: bool = True,
     outputs: tuple | None = None,
+    cand_idx: jnp.ndarray | None = None,
+    selector: str = "exact",
 ):
     """Evaluate the field at points x [P, 3] -> dict(sdf [P,1], tex [P,3],
     mat [P,2], feat [P,C]) (reference models/primsdf.py:52-102).
@@ -92,6 +95,18 @@ def query(
     top_k bounds how many covering prims contribute per point (static
     shape); the reference's dynamic gather has no such bound but prims
     rarely stack deeper than a handful.
+
+    ``cand_idx`` [P, K]: caller-provided candidate prims per point (e.g.
+    one slab test per lattice cell shared by its points) — skips the
+    per-point dense-weight top_k, the single most expensive op of the
+    query (measured 32 of 50 ms per 32k-point chunk on v5e); exact
+    whenever the candidates cover every prim touching the point. Entries
+    MUST be distinct per row (duplicates double-count in the blend);
+    pad rows with any prim not covering the point.
+    ``selector='approx'`` uses jax.lax.approx_max_k for the top_k
+    (recall ~0.95 per bucket): right for texture baking where a missed
+    far-tail prim moves a texel by less than the uint8 quantization,
+    wrong for geometry.
     """
     N = params.srt.shape[0]
     S = prim_shape
@@ -99,14 +114,29 @@ def query(
     pos = params.srt[:, 1:4]
     scale = params.srt[:, 0:1]
 
-    w, wsum = prim_weights(params.srt, x)
-    k = min(top_k, N)
-    w_top, idx = jax.lax.top_k(w, k)  # [P, K]
+    if cand_idx is not None:
+        idx = cand_idx
+        pos_k = jnp.take(pos, idx, axis=0)      # [P, K, 3]
+        scale_k = jnp.take(scale, idx, axis=0)  # [P, K, 1]
+        coords = (x[:, None, :] - pos_k) / scale_k
+        # exact tent weights over the candidate set; the normalizer is
+        # the candidate sum (== dense wsum when candidates cover)
+        w_top = jax.nn.relu(1.0 - jnp.max(jnp.abs(coords), axis=-1))
+        wsum = jnp.sum(w_top, axis=-1, keepdims=True)
+    else:
+        w, wsum = prim_weights(params.srt, x)
+        k = min(top_k, N)
+        if selector == "approx":
+            w_top, idx = jax.lax.approx_max_k(w, k)
+        elif selector == "exact":
+            w_top, idx = jax.lax.top_k(w, k)  # [P, K]
+        else:
+            raise ValueError(f"selector={selector!r}")
 
-    # local coords of each point inside its top-K prims (xyz in [-1,1])
-    pos_k = jnp.take(pos, idx, axis=0)      # [P, K, 3]
-    scale_k = jnp.take(scale, idx, axis=0)  # [P, K, 1]
-    coords = (x[:, None, :] - pos_k) / scale_k
+        # local coords of each point inside its top-K prims (xyz in [-1,1])
+        pos_k = jnp.take(pos, idx, axis=0)      # [P, K, 3]
+        scale_k = jnp.take(scale, idx, axis=0)  # [P, K, 1]
+        coords = (x[:, None, :] - pos_k) / scale_k
 
     # sample only the channel range the caller needs (e.g. SDF-only grid
     # evaluation gathers 1 channel instead of 6)
