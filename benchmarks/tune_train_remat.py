@@ -70,3 +70,8 @@ if __name__ == "__main__":
             run("dots", batch=batch, label=f"remat='dots' B={batch}")
         except Exception as e:
             print("remat='dots' failed:", repr(e)[:300])
+    if which in ("all", "flash"):
+        try:
+            run("flash", batch=batch, label=f"remat='flash' B={batch}")
+        except Exception as e:
+            print("remat='flash' failed:", repr(e)[:300])

@@ -44,6 +44,49 @@ def test_ln_modulate_grads_match_unfused():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_ln_modulate_residual_matches_unfused():
+    """Fused gate-add + LN + modulate == the unfused composition, value
+    and gradient, plus interpret-mode kernel == fallback."""
+    from topiaxl.ops.fused_ln import ln_modulate_residual
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    sc = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 16, 256)), jnp.float32)
+
+    def unfused(x, d, g, sh, sc):
+        xn = x + g[:, None, :] * d
+        return xn, ln_modulate(xn, sh, sc)
+
+    def fused(x, d, g, sh, sc):
+        return ln_modulate_residual(x, d, g, sh, sc)
+
+    xn_f, h_f = fused(x, d, g, sh, sc)
+    xn_u, h_u = unfused(x, d, g, sh, sc)
+    np.testing.assert_allclose(np.asarray(xn_f), np.asarray(xn_u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u), atol=1e-5)
+
+    def loss(f):
+        def run(*a):
+            xn, h = f(*a)
+            return jnp.sum(xn * w) + jnp.sum(h * w**2)
+        return run
+
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4))(x, d, g, sh, sc)
+    gu = jax.grad(loss(unfused), argnums=(0, 1, 2, 3, 4))(x, d, g, sh, sc)
+    for a, b, name in zip(gf, gu, "xdgss"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=2e-4, err_msg=name)
+
+    # the actual Pallas kernel (interpret) == fallback
+    xk, hk = ln_modulate_residual(x, d, g, sh, sc, interpret=True)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xn_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hk), np.asarray(h_f), atol=1e-6)
+
+
 def test_ln_modulate_kernel_interpret_matches_fallback():
     """The actual Pallas kernel (interpret mode) == the jnp fallback."""
     rng = np.random.default_rng(3)

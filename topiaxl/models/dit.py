@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.fused_ln import ln_modulate
+from ..ops.fused_ln import ln_modulate, ln_modulate_residual
 from .layers import (
     CrossAttention,
     Mlp,
@@ -84,14 +84,16 @@ class DiTBlock(nn.Module):
         (s_mca, sc_mca, g_mca, s_msa, sc_msa, g_msa,
          s_mlp, sc_mlp, g_mlp) = jnp.split(mods, 9, axis=-1)
 
-        # LN+modulate fused into one HBM pass (ops/fused_ln.py)
+        # LN+modulate fused into one HBM pass (ops/fused_ln.py); at the
+        # two inner sublayer boundaries the residual gate-add fuses into
+        # the next LN too (ln_modulate_residual), so the stream is read
+        # and written once per boundary instead of twice
         h = ln_modulate(x, s_mca, sc_mca, out_dtype=self.dtype)
-        x = x + g_mca[:, None, :] * self.crossattn.attend(h, *kv)
-
-        h = ln_modulate(x, s_msa, sc_msa, out_dtype=self.dtype)
-        x = x + g_msa[:, None, :] * self.attn(h)
-
-        h = ln_modulate(x, s_mlp, sc_mlp, out_dtype=self.dtype)
+        x, h = ln_modulate_residual(
+            x, self.crossattn.attend(h, *kv), g_mca, s_msa, sc_msa,
+            out_dtype=self.dtype)
+        x, h = ln_modulate_residual(
+            x, self.attn(h), g_msa, s_mlp, sc_mlp, out_dtype=self.dtype)
         x = x + g_mlp[:, None, :] * self.mlp(h)
         return x
 
@@ -164,12 +166,16 @@ class DiT(nn.Module):
     dtype: Dtype = jnp.bfloat16
     attn_backend: str = "auto"
     # Block rematerialization for training memory:
-    #   False  — save all activations (fastest; fits B<=2/chip flagship)
-    #   True   — recompute the whole block in the backward (+~33% FLOPs;
-    #            needed at the reference recipe's bs 8/device)
-    #   "dots" — save matmul outputs, recompute only elementwise ops
-    #            (checkpoint_policies.dots_with_no_batch_dims_saveable):
-    #            near remat=False speed at a fraction of the memory
+    #   False   — save all activations (fastest; fits B<=2/chip flagship)
+    #   True    — recompute the whole block in the backward (+~33% FLOPs;
+    #             the reference recipe's bs 8/device baseline)
+    #   "dots"  — save matmul outputs, recompute only elementwise ops
+    #             (checkpoint_policies.dots_with_no_batch_dims_saveable):
+    #             near remat=False speed at a fraction of the memory
+    #   "flash" — save ONLY the flash kernel's out/lse (~75 MB/block at
+    #             bs 8): the backward re-runs the cheap elementwise ops
+    #             and matmuls but never the attention forward — the
+    #             middle ground between True and "dots" for bs 8
     remat: bool | str = False
     # int8 (W8A8) serving path: per-step block matmuls run on the int8
     # MXU (2x the bf16 rate on v5e). Params are the quantized form —
@@ -200,11 +206,18 @@ class DiT(nn.Module):
                         "flash_out", "flash_lse"),
                 ),
             )
+        elif self.remat == "flash":
+            block = nn.remat(
+                DiTBlock, static_argnums=(),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse"),
+            )
         elif isinstance(self.remat, str):
             # any other string would silently fall through to full-block
             # remat below — reject it instead
             raise ValueError(
-                f"remat={self.remat!r}: expected False, True, or 'dots'")
+                f"remat={self.remat!r}: expected False, True, 'dots', "
+                "or 'flash'")
         elif self.remat:
             block = nn.remat(DiTBlock, static_argnums=())
         self.blocks = [

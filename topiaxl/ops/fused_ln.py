@@ -105,6 +105,103 @@ def _bwd(eps, out_dtype, block_n, interpret, res, g):
 _ln_modulate.defvjp(_fwd, _bwd)
 
 
+def _ln_mod_res_kernel(x_ref, d_ref, g_ref, sh_ref, sc_ref, xo_ref, o_ref,
+                       *, eps: float):
+    x = x_ref[0].astype(jnp.float32)                 # [bn, D]
+    delta = d_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)                 # [1, D]
+    xn = x + g * delta
+    xo_ref[0] = xn.astype(xo_ref.dtype)
+    mu = jnp.mean(xn, axis=1, keepdims=True)
+    xc = xn - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    sc = sc_ref[0].astype(jnp.float32)
+    sh = sh_ref[0].astype(jnp.float32)
+    o_ref[0] = (y * (1.0 + sc) + sh).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _ln_modulate_res(x, delta, gate, shift, scale, eps, out_dtype, block_n,
+                     interpret):
+    B, N, D = x.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if not ((on_tpu or interpret) and D % 128 == 0 and N % 8 == 0):
+        xn32 = x.astype(jnp.float32) + (gate.astype(jnp.float32)[:, None, :]
+                                        * delta.astype(jnp.float32))
+        y = _ln(xn32, eps)
+        s = scale.astype(jnp.float32)[:, None, :]
+        sh = shift.astype(jnp.float32)[:, None, :]
+        return (xn32.astype(x.dtype),
+                (y * (1.0 + s) + sh).astype(out_dtype))
+
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+    kern = functools.partial(_ln_mod_res_kernel, eps=eps)
+    row = pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((1, bn, D), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    xn, h = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, N, D), out_dtype)],
+        grid=(B, N // bn),
+        in_specs=[blk, blk, row, row, row],
+        out_specs=[blk, blk],
+        interpret=interpret,
+    )(x, delta, gate[:, None, :], shift[:, None, :], scale[:, None, :])
+    return xn, h
+
+
+def _res_fwd(x, delta, gate, shift, scale, eps, out_dtype, block_n,
+             interpret):
+    out = _ln_modulate_res(x, delta, gate, shift, scale, eps, out_dtype,
+                           block_n, interpret)
+    return out, (x, delta, gate, shift, scale)
+
+
+def _res_bwd(eps, out_dtype, block_n, interpret, res, gs):
+    x, delta, gate, shift, scale = res
+    g_xn, g_h = gs
+    xn = x.astype(jnp.float32) + (gate.astype(jnp.float32)[:, None, :]
+                                  * delta.astype(jnp.float32))
+    y = _ln(xn, eps)
+    gh32 = g_h.astype(jnp.float32)
+    d_shift = gh32.sum(axis=1).astype(shift.dtype)
+    d_scale = (gh32 * y).sum(axis=1).astype(scale.dtype)
+    dy = gh32 * (1.0 + scale.astype(jnp.float32))[:, None, :]
+    var = xn.var(axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    dxn = inv * (dy - dy.mean(axis=-1, keepdims=True)
+                 - y * (dy * y).mean(axis=-1, keepdims=True))
+    dxn = dxn + g_xn.astype(jnp.float32)
+    d_x = dxn.astype(x.dtype)
+    d_delta = (dxn * gate.astype(jnp.float32)[:, None, :]).astype(delta.dtype)
+    d_gate = (dxn * delta.astype(jnp.float32)).sum(axis=1).astype(gate.dtype)
+    return d_x, d_delta, d_gate, d_shift, d_scale
+
+
+_ln_modulate_res.defvjp(_res_fwd, _res_bwd)
+
+
+def ln_modulate_residual(x, delta, gate, shift, scale, eps: float = 1e-6,
+                         out_dtype=None, block_n: int = 256,
+                         interpret: bool = False):
+    """Fused residual-gate-add + LN + adaLN modulate:
+    ``x_new = x + gate[:, None, :] * delta`` followed by
+    ``h = modulate(LN(x_new), shift, scale)``, returning ``(x_new, h)``
+    in ONE stream pass — the DiT sublayer boundary
+    (reference dit_crossattn.py:55-57) without re-reading the residual
+    stream between the gate-add and the next sublayer's LN. All
+    arithmetic f32, one cast per output (same numerics contract as
+    ``ln_modulate``)."""
+    return _ln_modulate_res(x, delta, gate, shift, scale, eps,
+                            jnp.dtype(out_dtype or x.dtype), block_n,
+                            interpret)
+
+
 def ln_modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray,
                 eps: float = 1e-6, out_dtype=None, block_n: int = 256,
                 interpret: bool = False) -> jnp.ndarray:

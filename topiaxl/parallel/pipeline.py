@@ -133,9 +133,16 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int,
                         "flash_out", "flash_lse"),
                 ),
             )
+        elif model.remat == "flash":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse"),
+            )
         elif isinstance(model.remat, str):
             raise ValueError(
-                f"remat={model.remat!r}: expected False, True, or 'dots'")
+                f"remat={model.remat!r}: expected False, True, 'dots', "
+                "or 'flash'")
         elif model.remat:
             body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, stacked_local)
