@@ -30,7 +30,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--remat", default="full",
+                    choices=["none", "full", "dots", "flash"])
+    ap.add_argument("--scan", action="store_true",
+                    help="scan_blocks training layout (one compiled "
+                         "block body instead of 28 unrolled)")
     args = ap.parse_args()
+    remat = {"none": False, "full": True, "dots": "dots",
+             "flash": "flash"}[args.remat]
 
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT
@@ -41,7 +48,8 @@ def main():
     model = DiT(seq_length=2048, in_channels=68, condition_channels=768,
                 hidden_size=1152, depth=28, num_heads=16,
                 cond_drop_prob=0.1, attn_proj_bias=True,
-                dtype=jnp.bfloat16, remat=True)
+                dtype=jnp.bfloat16, remat=remat,
+                scan_blocks=args.scan)
     diffusion = create_diffusion(
         timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
         parameterization="v", diffusion_steps=1000)

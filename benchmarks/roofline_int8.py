@@ -33,6 +33,30 @@ def timeit(f, *args, n=20):
     return (time.perf_counter() - t0) / n
 
 
+def timeit_scan(step, x0, n=100, reps=3):
+    """Time ``step`` iterated n times INSIDE one jit (lax.scan with a
+    data dependency) — per-dispatch tunnel latency (~25 ms) and host
+    jitter would otherwise dominate sub-ms kernels. ``step`` maps a
+    carry (same pytree shape) to the next carry."""
+
+    @jax.jit
+    def chain(c):
+        return jax.lax.scan(lambda c, _: (step(c), None), c,
+                            None, length=n)[0]
+
+    c = chain(x0)
+    c = jax.tree.map(lambda a: a, c)
+    jax.block_until_ready(c)
+    float(jnp.sum(jax.tree.leaves(c)[0]).astype(jnp.float32))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        c = chain(x0)
+        float(jnp.sum(jax.tree.leaves(c)[0]).astype(jnp.float32))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
 def main():
     key = jax.random.PRNGKey(0)
     # (label, in, out, count_per_block)
@@ -65,23 +89,34 @@ def main():
                                   preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * s * ws[None]).astype(jnp.bfloat16)
 
+    # every measurement runs n scan iterations INSIDE one jit with a
+    # data dependency (x <- x + eps*y[:, :1]) so the per-dispatch tunnel
+    # latency cannot pollute sub-ms kernels; the feedback adds one VPU
+    # pass over x (~10-25 us) — noted, identical across variants
     print(f"{'matmul':14s} {'shape':18s} {'bf16':>8s} {'i8 dot':>8s} "
-          f"{'w8a8':>8s} {'quant ovh':>9s}  (ms, ROWS=4096)")
+          f"{'w8a8':>8s} {'quant ovh':>9s}  (ms, ROWS=4096, scan-chained)")
     tot = {"bf16": 0.0, "i8": 0.0, "w8a8": 0.0}
     for label, cin, cout, cnt in mms:
         x = jax.random.normal(key, (ROWS, cin), jnp.bfloat16)
-        w = jax.random.normal(key, (cin, cout), jnp.bfloat16)
+        w = jax.random.normal(key, (cin, cout), jnp.bfloat16) * 0.02
         xq = jax.random.randint(key, (ROWS, cin), -127, 127, jnp.int8)
         wq = jax.random.randint(key, (cin, cout), -127, 127, jnp.int8)
         ws = jnp.ones((cout,), jnp.float32)
-        tb = timeit(dot_bf16, x, w)
-        ti = timeit(dot_i8, xq, wq)
-        tw = timeit(w8a8, x, wq, ws)
+        flop = 2 * ROWS * cin * cout
+        tb = timeit_scan(
+            lambda c: c + dot_bf16(c, w)[:, :1].astype(jnp.bfloat16) * 1e-2,
+            x)
+        ti = timeit_scan(
+            lambda c: c + (dot_i8(c, wq)[:, :1] & 1).astype(jnp.int8), xq)
+        tw = timeit_scan(
+            lambda c: c + w8a8(c, wq, ws)[:, :1] * 1e-2, x)
         tot["bf16"] += cnt * tb
         tot["i8"] += cnt * ti
         tot["w8a8"] += cnt * tw
         print(f"{label:14s} {f'{cin}x{cout}':18s} {tb*1e3:8.3f} "
-              f"{ti*1e3:8.3f} {tw*1e3:8.3f} {(tw-ti)*1e3:9.3f}")
+              f"{ti*1e3:8.3f} {tw*1e3:8.3f} {(tw-ti)*1e3:9.3f}"
+              f"   bf16 {flop/tb/1e12:5.1f} TF/s | i8 {flop/ti/1e12:5.1f}"
+              f" | w8a8 {flop/tw/1e12:5.1f}")
 
     # attention (stays bf16: in-kernel int8 dot does not hit the int8 MXU
     # rate — probe commit fbb0caf)
@@ -91,20 +126,39 @@ def main():
     q = jax.random.normal(key, (B, 2048, H, hd), jnp.bfloat16)
     kv = jax.random.normal(key, (B, 2048, H, hd), jnp.bfloat16)
     ck = jax.random.normal(key, (B, 1370, H, hd), jnp.bfloat16)
-    t_self = timeit(jax.jit(lambda a, b: flash_attention(a, b, b, hd**-0.5)),
-                    q, kv)
-    t_cross = timeit(jax.jit(lambda a, b: flash_attention(a, b, b, hd**-0.5)),
-                     q, ck)
+    t_self = timeit_scan(
+        lambda c: c + flash_attention(c, kv, kv, hd**-0.5) * 1e-2, q, n=50)
+    t_cross = timeit_scan(
+        lambda c: c + flash_attention(c, ck, ck, hd**-0.5) * 1e-2, q, n=50)
     print(f"{'flash self':14s} {'2048x2048':18s} {t_self*1e3:8.3f} (bf16)")
     print(f"{'flash cross':14s} {'2048x1370':18s} {t_cross*1e3:8.3f} (bf16)")
 
+    # LN+modulate / residual boundaries (the bf16 elementwise floor)
+    from topiaxl.ops.fused_ln import ln_modulate, ln_modulate_residual
+
+    sh = jnp.zeros((B, 1152), jnp.bfloat16)
+    sc = jnp.zeros((B, 1152), jnp.bfloat16)
+    g = jnp.ones((B, 1152), jnp.bfloat16)
+    xs = jax.random.normal(key, (B, 2048, 1152), jnp.bfloat16)
+    t_ln = timeit_scan(
+        lambda c: c + ln_modulate(c, sh, sc, out_dtype=jnp.bfloat16) * 1e-2,
+        xs, n=50)
+    t_lnr = timeit_scan(
+        lambda c: ln_modulate_residual(c, c, g, sh, sc,
+                                       out_dtype=jnp.bfloat16)[0] * 0.5,
+        xs, n=50)
+    print(f"{'ln_modulate':14s} {'4x2048x1152':18s} {t_ln*1e3:8.3f} (bf16)")
+    print(f"{'ln_mod_resid':14s} {'4x2048x1152':18s} {t_lnr*1e3:8.3f} (bf16)")
+
     d = 28
     attn = t_self + t_cross
-    print("\ncomposed 28-block step model (matmuls + attention only):")
+    ln = t_ln + 2 * t_lnr
+    print("\ncomposed 28-block step model (matmuls + attention + LN):")
     for k in ("bf16", "i8", "w8a8"):
-        total = d * (tot[k] + attn)
+        total = d * (tot[k] + attn + ln)
         print(f"  {k:5s} matmuls {d*tot[k]*1e3:7.1f} ms + attn "
-              f"{d*attn*1e3:6.1f} ms = {total*1e3:7.1f} ms "
+              f"{d*attn*1e3:6.1f} ms + ln {d*ln*1e3:5.1f} ms"
+              f" = {total*1e3:7.1f} ms "
               f"-> {1.0/total:6.2f} steps/s ceiling")
     print("\ninterpretation: (w8a8 - i8 dot) is the dynamic-quant VPU tax;"
           "\nattention+LN+residuals are the bf16 floor CFG'd int8 can't cut.")

@@ -159,3 +159,80 @@ def test_remat_invalid_string_rejected():
     with _pytest.raises(ValueError, match="remat="):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
                    jnp.zeros((1,), jnp.int32), jnp.zeros((1, 2, 6)))
+
+
+# ---- scan_blocks training layout ------------------------------------------
+
+
+def test_scan_blocks_matches_unrolled():
+    """scan_blocks=True computes the same forward as the unrolled model
+    once params are converted between the two layouts (both directions)."""
+    from topiaxl.models.dit import stack_block_params, unstack_block_params
+
+    model = tiny_dit(cond_drop_prob=0.0)
+    params = _trained_like_params(model)
+    smodel = tiny_dit(cond_drop_prob=0.0, scan_blocks=True)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    t = jnp.array([3, 7])
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+    ref = model.apply(params, x, t, y)
+
+    sparams = stack_block_params(params)
+    # shape-compatible with a fresh scan init
+    init_shapes = jax.eval_shape(smodel.init, jax.random.PRNGKey(0),
+                                 x, t, y)
+    assert (jax.tree.structure(init_shapes)
+            == jax.tree.structure(sparams))
+    out = smodel.apply(sparams, x, t, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # roundtrip back to the serving layout
+    back = unstack_block_params(sparams)
+    out2 = model.apply(back, x, t, y)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("remat", [True, "dots", "flash"])
+def test_scan_blocks_remat_grad_matches(remat):
+    """Value+grad of the scanned model under every remat policy equals
+    the unrolled no-remat model on converted params."""
+    from topiaxl.models.dit import stack_block_params
+
+    model = tiny_dit(cond_drop_prob=0.0)
+    params = _trained_like_params(model)
+    smodel = tiny_dit(cond_drop_prob=0.0, scan_blocks=True, remat=remat)
+    sparams = stack_block_params(params)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    t = jnp.array([3, 7])
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+
+    def loss_ref(p):
+        return jnp.sum(model.apply(p, x, t, y) ** 2)
+
+    def loss_scan(p):
+        return jnp.sum(smodel.apply(p, x, t, y) ** 2)
+
+    v0, g0 = jax.value_and_grad(loss_ref)(params)
+    v1, g1 = jax.value_and_grad(loss_scan)(sparams)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    g1u = jax.tree.leaves(
+        __import__("topiaxl.models.dit", fromlist=["x"])
+        .unstack_block_params(g1))
+    g0l = jax.tree.leaves(g0)
+    for a, b in zip(g0l, g1u):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_scan_blocks_serving_paths_rejected():
+    smodel = tiny_dit(scan_blocks=True)
+    x = jnp.zeros((1, 16, 8))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1, 5, 12))
+    params = smodel.init(jax.random.PRNGKey(0), x, t, y)
+    with pytest.raises(ValueError, match="unstack_block_params"):
+        smodel.apply(params, y, method=DiT.precompute_kv)

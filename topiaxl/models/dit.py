@@ -150,6 +150,36 @@ class PointEmbed(nn.Module):
         return nn.Dense(self.dim, name="mlp")(emb)
 
 
+class _BlockScanBody(nn.Module):
+    """nn.scan-compatible wrapper around one DiTBlock: carry is
+    (x, y, t_emb); the block projects its own cross-attn K/V from y
+    each call (training never reuses K/V across steps, so the serving
+    precompute_kv optimization does not apply here)."""
+
+    hidden_size: int
+    cond_dim: int
+    num_heads: int
+    mlp_ratio: float
+    proj_bias: bool
+    dtype: Dtype
+    attn_backend: str
+    quant: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, y, t_emb = carry
+        blk = DiTBlock(
+            hidden_size=self.hidden_size, cond_dim=self.cond_dim,
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            proj_bias=self.proj_bias, dtype=self.dtype,
+            attn_backend=self.attn_backend, quant=self.quant,
+            name="block",
+        )
+        kv = blk.cond_kv(y)
+        x = blk(x, kv, t_emb)
+        return (x, y, t_emb), None
+
+
 class DiT(nn.Module):
     """Flagship generator (reference models/dit_crossattn.py:111-213)."""
 
@@ -177,6 +207,15 @@ class DiT(nn.Module):
     #             and matmuls but never the attention forward — the
     #             middle ground between True and "dots" for bs 8
     remat: bool | str = False
+    # Training layout: compile the 28 blocks as ONE lax.scan body instead
+    # of unrolling them. Cuts the train-step HLO ~depth-fold (the B=8
+    # donated step's 8-12 min remote compile crashed the compile helper
+    # unrolled), at identical math. Params gain a leading [depth] axis
+    # ("blocks.block.*"); convert to/from the unrolled serving layout
+    # with stack_block_params / unstack_block_params. Training path
+    # (__call__) only — forward_kv/precompute_kv require the unrolled
+    # layout.
+    scan_blocks: bool = False
     # int8 (W8A8) serving path: per-step block matmuls run on the int8
     # MXU (2x the bf16 rate on v5e). Params are the quantized form —
     # produce them from float weights with quantize_dit_params.
@@ -193,6 +232,55 @@ class DiT(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
         )
         self.t_embedder = TimestepEmbedder(self.hidden_size)
+        if self.scan_blocks:
+            body = _BlockScanBody
+            if self.remat == "dots":
+                body = nn.remat(
+                    body, static_argnums=(),
+                    policy=jax.checkpoint_policies.save_from_both_policies(
+                        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                        jax.checkpoint_policies.save_only_these_names(
+                            "flash_out", "flash_lse"),
+                    ),
+                )
+            elif self.remat == "flash":
+                body = nn.remat(
+                    body, static_argnums=(),
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse"),
+                )
+            elif isinstance(self.remat, str):
+                raise ValueError(
+                    f"remat={self.remat!r}: expected False, True, 'dots', "
+                    "or 'flash'")
+            elif self.remat:
+                body = nn.remat(body, static_argnums=())
+            self.blocks_scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+            )(
+                hidden_size=self.hidden_size,
+                cond_dim=self.condition_channels,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                proj_bias=self.attn_proj_bias,
+                dtype=self.dtype,
+                attn_backend=self.attn_backend,
+                quant=self.quant,
+                name="blocks",
+            )
+            self.final_layer = FinalLayer(
+                hidden_size=self.hidden_size,
+                out_channels=self.out_channels, dtype=self.dtype,
+            )
+            self.null_cond_embedding = self.param(
+                "null_cond_embedding",
+                nn.initializers.normal(1.0),
+                (self.condition_channels,),
+            )
+            return
         block = DiTBlock
         if self.remat == "dots":
             # matmul outputs AND the flash kernel's saved out/lse
@@ -250,6 +338,10 @@ class DiT(nn.Module):
 
     def precompute_kv(self, y: jnp.ndarray):
         """Per-block cross-attn K/V for a conditioning sequence [B, M, C]."""
+        if self.scan_blocks:
+            raise ValueError(
+                "precompute_kv/forward_kv need the unrolled serving layout; "
+                "convert scanned params with unstack_block_params")
         return [blk.cond_kv(y) for blk in self.blocks]
 
     def null_kv(self, batch: int, seq: int):
@@ -302,6 +394,11 @@ class DiT(nn.Module):
             )
             null = self.null_cond_embedding[None, None, :]
             y = jnp.where(drop[:, None, None], null, y)
+        if self.scan_blocks:
+            x = self.embed_tokens(x)
+            t_emb = self.t_embedder(t)
+            (x, _, _), _ = self.blocks_scan((x, y, t_emb), None)
+            return self.final_layer(x, t_emb)
         kvs = self.precompute_kv(y)
         return self.forward_kv(x, t, kvs)
 
@@ -330,6 +427,37 @@ class DiT(nn.Module):
         out = self.forward_kv(combined, combined_t, kvs_pair)
         cond, uncond = jnp.split(out, 2, axis=0)
         return uncond + cfg_scale * (cond - uncond)
+
+
+def stack_block_params(params):
+    """Unrolled DiT params (blocks_0..blocks_{d-1}) -> the scan_blocks
+    layout ({'blocks': {'block': stacked leaves [depth, ...]}}). Works on
+    a {'params': ...} tree or the inner dict; non-block entries pass
+    through unchanged."""
+    outer = "params" in params
+    p = dict(params["params"] if outer else params)
+    names = sorted((k for k in p if k.startswith("blocks_")),
+                   key=lambda k: int(k.split("_")[1]))
+    if not names:
+        raise ValueError("no blocks_<i> entries: already stacked?")
+    blocks = [p.pop(k) for k in names]
+    p["blocks"] = {"block": jax.tree.map(
+        lambda *xs: jnp.stack(xs), *blocks)}
+    return {**params, "params": p} if outer else p
+
+
+def unstack_block_params(params):
+    """Inverse of stack_block_params: scan layout -> blocks_<i> list
+    layout (the serving/unrolled parameter tree)."""
+    outer = "params" in params
+    p = dict(params["params"] if outer else params)
+    if "blocks" not in p:
+        raise ValueError("no 'blocks' entry: already unrolled?")
+    stacked = p.pop("blocks")["block"]
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(depth):
+        p[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return {**params, "params": p} if outer else p
 
 
 def quantize_dit_params(model: "DiT", params):

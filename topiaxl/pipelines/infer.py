@@ -16,6 +16,7 @@ decoupling the reference gets from denoised.pt (inference.py:351-352).
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -212,7 +213,8 @@ def noise_filter(params: PrimXParams) -> PrimXParams:
 def sdf_grid(params: PrimXParams, resolution: int = 256,
              chunk: int = 32768, prim_shape: int = 8, dim_feat: int = 6,
              top_k: int = 16, coarse: int = 64,
-             band_sigma: float = 3.0) -> np.ndarray:
+             band_sigma: float = 3.0, timings: dict | None = None
+             ) -> np.ndarray:
     """SDF on a resolution^3 lattice, coarse-to-fine.
 
     The reference brute-forces all resolution^3 points through the field
@@ -239,6 +241,15 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
     # Host<->device traffic is minimized throughout: a tunneled/remote
     # device link can be ~MB/s, and even on a local host PCIe copies are
     # the part that doesn't scale. Coarse grid comes back as f16.
+    t0 = time.perf_counter()
+
+    def _phase(name):
+        nonlocal t0
+        now = time.perf_counter()
+        if timings is not None:
+            timings[name] = round(now - t0, 3)
+        t0 = now
+
     lin_c = np.linspace(-1.0, 1.0, coarse, dtype=np.float32)
     ic, jc, kc = np.meshgrid(lin_c, lin_c, lin_c, indexing="ij")
     pts_c = jnp.asarray(np.stack([ic, jc, kc], -1).reshape(-1, 3))
@@ -247,11 +258,13 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         prim_shape=prim_shape, top_k=top_k, outputs=("sdf",))
     grid_c = np.asarray(out_c["sdf"].astype(jnp.float16)).astype(np.float32)
     grid_c = grid_c.reshape(coarse, coarse, coarse)
+    _phase("coarse_query")
 
     # --- upsample to fine: trilinear on host (a device jax.image.resize
     # here measured 13s at 256^3 through the tunnel — the fine grid must
     # not cross the link) ------------------------------------------------
     grid = _upsample3_linear(grid_c, res)
+    _phase("upsample")
 
     # --- refine the band -----------------------------------------------------
     from scipy import ndimage
@@ -276,11 +289,15 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         n_call = -(-len(ids) // cells_per_call)
         n_call_p = max(8, -(-n_call // 8) * 8)
         ids_p = np.pad(ids, (0, n_call_p * cells_per_call - len(ids)))
+        _phase("band_select")
         q = _refine_cells_int8_batched(
             params, jnp.asarray(ids_p.reshape(n_call_p, cells_per_call)),
             coarse, res, sdf_range, dim_feat=dim_feat,
             prim_shape=prim_shape, top_k=top_k)
         q = np.asarray(q).reshape(-1, q.shape[-1])  # [n_cells_p, f^3] int8
+        if timings is not None:
+            timings["band_cells"] = int(len(ids))
+        _phase("refine_query")
         vals = q.astype(np.float32) / 127.0 * sdf_range
         # scatter into the fine grid: block (ci*f..+f)^3 per coarse cell
         ci = ids // (coarse * coarse)
@@ -291,6 +308,7 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         # [coarse, f, coarse, f, coarse, f] and index the coarse axes
         gview = grid.reshape(coarse, f, coarse, f, coarse, f)
         gview[ci, :, cj, :, ck, :] = vals
+        _phase("scatter")
         return grid
 
     # general path (res not a multiple of coarse)
@@ -514,8 +532,12 @@ def extract_glb(
 
     # the reference's batch_size=8192 is a GPU OOM guard; TPU HBM prefers
     # larger dispatches
+    sdf_tm: dict = {}
     grid = sdf_grid(params, mc_resolution, chunk=max(batch_size, 32768),
-                    prim_shape=prim_shape, dim_feat=dim_feat)
+                    prim_shape=prim_shape, dim_feat=dim_feat,
+                    timings=sdf_tm)
+    if timings_out is not None and sdf_tm:
+        timings_out["sdf_grid_phases"] = sdf_tm
     tick("sdf_grid")
     verts, faces = extract_isosurface(grid)
     tick(f"isosurface ({len(faces)} faces)")

@@ -39,6 +39,7 @@ def make_dit(**kw):
         else jnp.float32,
         remat=(kw["remat"] if isinstance(kw.get("remat"), str)
                else bool(kw.get("remat", False))),
+        scan_blocks=bool(kw.get("scan_blocks", False)),
         quant=bool(kw.get("quant", False)),
     )
 
