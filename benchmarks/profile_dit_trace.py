@@ -4,7 +4,6 @@ by self-time — the ground truth for where the 47 ms CFG step goes.
 
 Run on the TPU:  python benchmarks/profile_dit_trace.py [bf16|int8]
 """
-import glob
 import os
 import sys
 
@@ -28,22 +27,12 @@ def main():
         out = chain(params, out, kvs)
         float(out.sum())
 
-    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    assert paths, f"no xplane under {logdir}"
-    from xprof.convert.raw_to_tool_data import xspace_to_tool_data
+    # same hlo_stats aggregation as profile_sdf_refine.aggregate: top
+    # ops by device self-time + per-category totals
+    from profile_sdf_refine import aggregate
 
-    for tool in ("framework_op_stats", "hlo_stats"):
-        try:
-            data, _ = xspace_to_tool_data(paths, f"{tool}^", {})
-        except Exception as e:
-            print(f"[{tool}] failed: {e!r}")
-            continue
-        if isinstance(data, bytes):
-            data = data.decode("utf-8", "replace")
-        lines = str(data).splitlines()
-        print(f"\n===== {tool} ({len(lines)} rows) =====")
-        for ln in lines[:40]:
-            print(ln[:400])
+    aggregate(logdir, f"DiT chain ({'int8' if quant else 'bf16'})",
+              n_top=24)
 
 
 if __name__ == "__main__":

@@ -60,3 +60,51 @@ def test_gather_volume_trilinear_multi():
         for k in range(4):
             ref = _torch_ref(vols[idx[p, k]], coords[p, k][None])
             np.testing.assert_allclose(ours[p, k], ref[0], atol=1e-5)
+
+
+def test_rows_gather_matches_flat():
+    """gather_volume_trilinear_rows == gather_volume_trilinear on random
+    volumes/points, C=1 and C=5, including out-of-range coords."""
+    import numpy as np
+
+    from topiaxl.ops.grid_sample import (
+        gather_volume_trilinear,
+        gather_volume_trilinear_rows,
+        rows_layout,
+    )
+
+    rng = np.random.default_rng(0)
+    for C in (1, 5):
+        N, S, P = 7, 8, 513
+        vols = rng.standard_normal((N, C, S, S, S)).astype("f")
+        idx = rng.integers(0, N, (P,)).astype("i4")
+        coords = rng.uniform(-1.3, 1.3, (P, 3)).astype("f")
+        flat = jnp.asarray(vols.reshape(N, C, S**3).transpose(0, 2, 1))
+        ref = gather_volume_trilinear(
+            flat, jnp.asarray(idx), jnp.asarray(coords), (S, S, S))
+        rows = rows_layout(jnp.asarray(vols))
+        got = gather_volume_trilinear_rows(
+            rows, jnp.asarray(idx), jnp.asarray(coords), (S, S, S))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_query_gather_rows_matches_flat():
+    import numpy as np
+
+    from topiaxl.models import primx as primx_lib
+
+    rng = np.random.default_rng(1)
+    n = 64
+    srt = np.concatenate([
+        rng.uniform(0.05, 0.2, (n, 1)),
+        rng.uniform(-0.8, 0.8, (n, 3)),
+    ], 1).astype("f")
+    feat = rng.standard_normal((n, 6 * 512)).astype("f")
+    params = primx_lib.PrimXParams(jnp.asarray(srt), jnp.asarray(feat))
+    pts = jnp.asarray(rng.uniform(-1, 1, (257, 3)).astype("f"))
+    a = primx_lib.query(params, pts, top_k=8, gather="flat")
+    b = primx_lib.query(params, pts, top_k=8, gather="rows")
+    for k in a:
+        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                   atol=1e-5, rtol=1e-4)

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.grid_sample import gather_volume_trilinear
+from ..ops.grid_sample import (
+    gather_volume_trilinear,
+    gather_volume_trilinear_rows,
+    rows_layout,
+)
 
 
 class PrimXParams(NamedTuple):
@@ -76,7 +80,7 @@ def sdf2alpha(sdf: jnp.ndarray, var: float = 0.005) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("dim_feat", "prim_shape", "top_k",
                                    "training", "with_fallback", "outputs",
-                                   "selector"))
+                                   "selector", "gather"))
 def query(
     params: PrimXParams,
     x: jnp.ndarray,
@@ -88,6 +92,7 @@ def query(
     outputs: tuple | None = None,
     cand_idx: jnp.ndarray | None = None,
     selector: str = "exact",
+    gather: str = "flat",
 ):
     """Evaluate the field at points x [P, 3] -> dict(sdf [P,1], tex [P,3],
     mat [P,2], feat [P,C]) (reference models/primsdf.py:52-102).
@@ -149,9 +154,19 @@ def query(
         ch0, ch1 = 0, C
     nch = ch1 - ch0
 
-    # payload volumes as [N, S^3, nch] (channels last for lane-dim gathers)
-    vols = params.feat.reshape(N, C, S**3)[:, ch0:ch1].transpose(0, 2, 1)
-    sampled = gather_volume_trilinear(vols, idx, coords, (S, S, S))
+    if gather == "rows":
+        # whole-x-row gathers: 4 takes of [S*nch] lanes per sample
+        # instead of 8 takes of [nch] — see gather_volume_trilinear_rows
+        row_vols = rows_layout(
+            params.feat.reshape(N, C, S, S, S)[:, ch0:ch1])
+        sampled = gather_volume_trilinear_rows(
+            row_vols, idx, coords, (S, S, S))
+    elif gather == "flat":
+        # payload volumes as [N, S^3, nch] (channels last for lane gathers)
+        vols = params.feat.reshape(N, C, S**3)[:, ch0:ch1].transpose(0, 2, 1)
+        sampled = gather_volume_trilinear(vols, idx, coords, (S, S, S))
+    else:
+        raise ValueError(f"gather={gather!r}")
 
     wn = jnp.where(w_top > 0, w_top, 0.0) / (wsum + 1e-6)
     blended = jnp.sum(sampled * wn[..., None], axis=1)  # [P, nch]

@@ -234,13 +234,60 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ``q`` arrives pre-scaled (q * scale, matching the forward), so the
     logits need no per-block multiply; dq w.r.t. the ORIGINAL q then
     picks up one final * scale."""
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    skp = k_ref.shape[1]
+    nk = skp // block_k
+
+    if nk == 1:
+        # single-KV-block fast path (the flagship shapes), software-
+        # pipelined like the forward: process the q block in row chunks
+        # and issue chunk i+1's two MXU matmuls (logits, dp) before
+        # chunk i's VPU softmax-recompute + dq matmul, so Mosaic can
+        # overlap the units. KV padding is masked by a broadcast bias
+        # add instead of an iota/compare/select.
+        k = k_ref[0]
+        v = v_ref[0]
+        sub = max(1, bq // 256)
+        while sub > 1 and (bq % sub or (bq // sub) % 8):
+            sub -= 1
+        c = bq // sub
+        if skp != kv_len:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, skp), 1)
+            bias = jnp.where(col < kv_len, 0.0, _NEG_INF)
+        else:
+            bias = None
+
+        def chunk_mm(i):
+            qc = q_ref[0, pl.ds(i * c, c), :]
+            dc = do_ref[0, pl.ds(i * c, c), :]
+            logits = jax.lax.dot_general(
+                qc, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [c, SKp]
+            dp = jax.lax.dot_general(
+                dc, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [c, SKp]
+            return logits, dp
+
+        cur = chunk_mm(0)
+        for i in range(sub):
+            nxt = chunk_mm(i + 1) if i + 1 < sub else None
+            logits, dp = cur
+            lg = logits if bias is None else logits + bias
+            p = jnp.exp(lg - lse_ref[0, pl.ds(i * c, c), :])
+            ds = (p * (dp - delta_ref[0, pl.ds(i * c, c), :])).astype(
+                q_ref.dtype)
+            acc = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_ref[0, pl.ds(i * c, c), :] = (acc * scale).astype(
+                dq_ref.dtype)
+            cur = nxt
+        return
+
     q = q_ref[0]                                    # [BQ, D] bf16
     do = do_ref[0]                                  # [BQ, D]
     lse = lse_ref[0]                                # [BQ, 1] f32
     delta = delta_ref[0]                            # [BQ, 1] f32
-    bq, d = q.shape
-    skp = k_ref.shape[1]
-    nk = skp // block_k
 
     def body(i, acc):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
@@ -276,6 +323,53 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     bk, d = k.shape
     sqp = q_ref.shape[1]
     nq = sqp // block_q
+
+    if nq <= 16:
+        # unrolled software-pipelined path (flagship: 2048/256 = 8
+        # chunks): chunk i+1's logits/dp matmuls are issued before chunk
+        # i's softmax-recompute (VPU) + dk/dv accumulation matmuls, so
+        # the MXU never waits on the VPU. The q-row padding mask is a
+        # broadcast [c,1] bias add (padded q/do rows are zero-filled, but
+        # exp(0-lse=0)=1 would pollute dv, so the mask stays).
+        def chunk_mm(i):
+            qc = q_ref[0, pl.ds(i * block_q, block_q), :]
+            dc = do_ref[0, pl.ds(i * block_q, block_q), :]
+            logits = jax.lax.dot_general(
+                qc, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [c, BK]
+            dp = jax.lax.dot_general(
+                dc, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return logits, dp
+
+        dk_acc = jnp.zeros((bk, d), jnp.float32)
+        dv_acc = jnp.zeros((bk, d), jnp.float32)
+        cur = chunk_mm(0)
+        for i in range(nq):
+            nxt = chunk_mm(i + 1) if i + 1 < nq else None
+            logits, dp = cur
+            lse_c = lse_ref[0, pl.ds(i * block_q, block_q), :]
+            if sqp != q_len:
+                row = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, 1), 0)
+                lg = logits + jnp.where(row < q_len, 0.0, _NEG_INF)
+            else:
+                lg = logits
+            p = jnp.exp(lg - lse_c)
+            qc = q_ref[0, pl.ds(i * block_q, block_q), :]
+            dc = do_ref[0, pl.ds(i * block_q, block_q), :]
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(dc.dtype), dc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [BK, D]
+            ds = (p * (dp - delta_ref[0, pl.ds(i * block_q, block_q), :])
+                  ).astype(qc.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, qc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cur = nxt
+        dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+        return
 
     def body(i, carry):
         dk_acc, dv_acc = carry

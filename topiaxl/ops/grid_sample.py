@@ -80,6 +80,60 @@ def gather_volume_trilinear(flat_vols: jnp.ndarray, vol_idx: jnp.ndarray,
     return out
 
 
+def gather_volume_trilinear_rows(row_vols: jnp.ndarray, vol_idx: jnp.ndarray,
+                                 coords: jnp.ndarray,
+                                 sizes: tuple[int, int, int]):
+    """Same contract as gather_volume_trilinear, but over a row-major
+    layout that gathers WHOLE X-ROWS: 4 takes of [W*C] lanes per sample
+    instead of 8 takes of [C] lanes. Narrow (C=1) gathers waste almost
+    the entire VPU lane width; pulling the 8-voxel x-row amortizes the
+    per-row gather cost and turns the x-lerp into a dense masked
+    reduction over lanes.
+
+    row_vols: [N, D*H, W*C] — channels fastest within a row
+              (reshape of [N, C, D, H, W] via transpose(0,2,3,1? ...)
+              produced by ``rows_layout``).
+    vol_idx:  [...] int32; coords: [..., 3] xyz in [-1, 1].
+    Returns [..., C].
+    """
+    D, H, W = sizes
+    C = row_vols.shape[-1] // W
+    (z0, z1, fz, vz0, vz1), (y0, y1, fy, vy0, vy1), (x0, x1, fx, vx0, vx1) = \
+        _corner_setup(coords, sizes)
+
+    flat = row_vols.reshape(-1, W * C)
+    base = vol_idx.astype(jnp.int32) * (D * H)
+
+    # dense x-lerp weights over the row: one-hot(x0)*(1-fx) + one-hot(x1)*fx
+    iota = jnp.arange(W, dtype=jnp.int32)
+    wx = ((iota == x0[..., None]).astype(jnp.float32)
+          * ((1.0 - fx) * vx0.astype(jnp.float32))[..., None]
+          + (iota == x1[..., None]).astype(jnp.float32)
+          * (fx * vx1.astype(jnp.float32))[..., None])      # [..., W]
+
+    def xrow(zi, yi, vz, vy, wz, wy):
+        rows = jnp.take(flat, base + zi * H + yi, axis=0)    # [..., W*C]
+        rows = rows.reshape(*rows.shape[:-1], W, C)
+        v = jnp.sum(rows * wx[..., None], axis=-2)           # [..., C]
+        w = (wz * wy) * (vz & vy).astype(v.dtype)
+        return v * w[..., None]
+
+    one = jnp.float32(1.0)
+    return (
+        xrow(z0, y0, vz0, vy0, one - fz, one - fy)
+        + xrow(z0, y1, vz0, vy1, one - fz, fy)
+        + xrow(z1, y0, vz1, vy0, fz, one - fy)
+        + xrow(z1, y1, vz1, vy1, fz, fy)
+    )
+
+
+def rows_layout(vols_c_first: jnp.ndarray) -> jnp.ndarray:
+    """[N, C, D, H, W] -> the [N, D*H, W*C] layout of
+    gather_volume_trilinear_rows (channels fastest within each x-row)."""
+    N, C, D, H, W = vols_c_first.shape
+    return vols_c_first.transpose(0, 2, 3, 4, 1).reshape(N, D * H, W * C)
+
+
 def grid_sample_3d(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample one volume at many points.
 
