@@ -22,7 +22,11 @@ from .uv_unwrap import pack_islands
 
 
 def _face_adjacency(f: np.ndarray):
-    """For each face, the faces sharing an edge with it (list of arrays)."""
+    """Edge-sharing face adjacency as a CSR pair (indptr, indices).
+
+    Vectorized over the sorted edge keys: manifold edges (runs of 2)
+    produce both directed pairs in bulk; rare non-manifold runs (>2)
+    fall back to a tiny loop."""
     F = len(f)
     edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
     owner = np.tile(np.arange(F, dtype=np.int64), 3)
@@ -31,20 +35,30 @@ def _face_adjacency(f: np.ndarray):
     order = np.argsort(key, kind="stable")
     key_s = key[order]
     own_s = owner[order]
-    adj = [[] for _ in range(F)]
-    i = 0
     n = len(key_s)
-    while i < n:
-        j = i + 1
-        while j < n and key_s[j] == key_s[i]:
-            j += 1
-        group = own_s[i:j]
-        for a in group:
-            for b in group:
-                if a != b:
-                    adj[a].append(b)
-        i = j
-    return adj
+    starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    lengths = np.diff(np.r_[starts, n])
+
+    pair_starts = starts[lengths == 2]
+    a = own_s[pair_starts]
+    b = own_s[pair_starts + 1]
+    src = [a, b]
+    dst = [b, a]
+    for s, ln in zip(starts[lengths > 2], lengths[lengths > 2]):
+        grp = own_s[s:s + ln]
+        for x in grp:
+            for y in grp:
+                if x != y:
+                    src.append(np.array([x]))
+                    dst.append(np.array([y]))
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    o = np.argsort(src, kind="stable")
+    indices = dst[o]
+    indptr = np.zeros(F + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, indices
 
 
 def segment_charts(v: np.ndarray, f: np.ndarray,
@@ -55,32 +69,42 @@ def segment_charts(v: np.ndarray, f: np.ndarray,
     chart ids."""
     fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
     fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-    adj = _face_adjacency(f)
-    cos_t = np.cos(np.deg2rad(angle_thresh_deg))
+    indptr, indices = _face_adjacency(f)
+    cos_t = float(np.cos(np.deg2rad(angle_thresh_deg)))
 
-    labels = np.full(len(f), -1, np.int64)
+    # BFS in plain Python floats: per-face numpy scalar ops cost ~µs
+    # each, which dominates at 100k+ faces
+    fnl = fn.tolist()
+    ptr = indptr.tolist()
+    idx = indices.tolist()
+    lab = [-1] * len(f)
     chart = 0
     for seed in range(len(f)):
-        if labels[seed] >= 0:
+        if lab[seed] >= 0:
             continue
-        labels[seed] = chart
-        mean_n = fn[seed].copy()
+        lab[seed] = chart
+        nx, ny, nz = fnl[seed]
         count = 1
         stack = [seed]
         while stack and count < max_faces:
             cur = stack.pop()
-            for nb in adj[cur]:
-                if labels[nb] >= 0:
+            for k in range(ptr[cur], ptr[cur + 1]):
+                nb = idx[k]
+                if lab[nb] >= 0:
                     continue
-                if fn[nb] @ mean_n < cos_t:
+                bx, by, bz = fnl[nb]
+                if bx * nx + by * ny + bz * nz < cos_t:
                     continue
-                labels[nb] = chart
-                mean_n = mean_n * count + fn[nb]
+                lab[nb] = chart
+                sx = nx * count + bx
+                sy = ny * count + by
+                sz = nz * count + bz
                 count += 1
-                mean_n /= max(np.linalg.norm(mean_n), 1e-12)
+                inv = 1.0 / max((sx * sx + sy * sy + sz * sz) ** 0.5, 1e-12)
+                nx, ny, nz = sx * inv, sy * inv, sz * inv
                 stack.append(nb)
         chart += 1
-    return labels
+    return np.asarray(lab, np.int64)
 
 
 def _lscm_solve(v: np.ndarray, tris: np.ndarray) -> np.ndarray | None:
@@ -181,6 +205,7 @@ def quality_uv_unwrap(
     island_padding: float = 0.02,
     angle_thresh_deg: float = 45.0,
     max_chart_faces: int = 12000,
+    small_chart_faces: int = 40,
 ):
     """Chart-grown LSCM unwrap (the reference's "Better" xatlas slot).
 
@@ -192,14 +217,65 @@ def quality_uv_unwrap(
     labels = segment_charts(v.astype(np.float32), f,
                             angle_thresh_deg, max_chart_faces)
 
+    # group faces by chart in ONE argsort pass — per-chart boolean masks
+    # are O(F x charts), minutes on noisy multi-thousand-chart meshes
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    bounds = np.flatnonzero(np.diff(sorted_labels)) + 1
+    segments = np.split(order, bounds)
+
+    sizes = np.asarray([len(s) for s in segments], np.int64)
+    big = sizes > small_chart_faces
+
+    # ---- batched small charts: best-fit-plane projection without any
+    # per-chart Python (small normal-cone charts are near-planar, so the
+    # plane projection matches LSCM; noisy meshes grow tens of
+    # thousands of such charts and per-chart numpy overhead dominates)
     islands = []
-    for lab in np.unique(labels):
-        fi = np.nonzero(labels == lab)[0]
+    small_ids = np.flatnonzero(~big)
+    if len(small_ids):
+        groups = [segments[i] for i in small_ids]
+        fidx = np.concatenate(groups)
+        counts = sizes[small_ids]
+        gid = np.repeat(np.arange(len(small_ids)), counts)
+        P = v[f[fidx]]                                     # [m, 3, 3]
+        csum = np.zeros((len(small_ids), 3))
+        np.add.at(csum, gid, P.sum(1))
+        cent = csum / (3.0 * counts)[:, None]
+        X = P - cent[gid][:, None, :]
+        cov = np.zeros((len(small_ids), 3, 3))
+        np.add.at(cov, gid, np.einsum("fca,fcb->fab", X, X))
+        _, eigvec = np.linalg.eigh(cov)                    # ascending
+        basis = eigvec[:, :, 1:]                           # [g, 3, 2]
+        uvc = np.einsum("fcx,fxy->fcy", X, basis[gid])     # [m, 3, 2]
+        # per-chart uniform texel density: scale uv area to 3d area
+        a3 = 0.5 * np.linalg.norm(
+            np.cross(P[:, 1] - P[:, 0], P[:, 2] - P[:, 0]), axis=1)
+        ea = uvc[:, 1] - uvc[:, 0]
+        eb = uvc[:, 2] - uvc[:, 0]
+        aU = 0.5 * np.abs(ea[:, 0] * eb[:, 1] - ea[:, 1] * eb[:, 0])
+        g_a3 = np.bincount(gid, weights=a3, minlength=len(small_ids))
+        g_aU = np.bincount(gid, weights=aU, minlength=len(small_ids))
+        scale_g = np.sqrt(g_a3 / np.maximum(g_aU, 1e-14))
+        uvc *= scale_g[gid][:, None, None]
+        # per-chart origin shift + extents (groups are contiguous in uvc)
+        starts3 = np.r_[0, np.cumsum(counts)[:-1]] * 3
+        flat = uvc.reshape(-1, 2)
+        lo_g = np.minimum.reduceat(flat, starts3, axis=0)
+        flat -= lo_g[np.repeat(gid, 3)]
+        hi_g = np.maximum.reduceat(flat, starts3, axis=0)
+        uvc32 = uvc.astype(np.float32)
+        offs = np.r_[0, np.cumsum(counts)]
+        for k, fi in enumerate(groups):
+            islands.append([fi, uvc32[offs[k]:offs[k + 1]],
+                            float(hi_g[k, 0]), float(hi_g[k, 1])])
+
+    # ---- big charts: LSCM with plane-projection fallback
+    for ci in np.flatnonzero(big):
+        fi = segments[ci]
         tris = f[fi]
-        used = np.unique(tris)
-        local = np.full(len(v), -1, np.int64)
-        local[used] = np.arange(len(used))
-        ltris = local[tris]
+        used, linear = np.unique(tris.reshape(-1), return_inverse=True)
+        ltris = linear.reshape(-1, 3)
         lv = v[used]
 
         uv = None

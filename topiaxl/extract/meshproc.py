@@ -41,8 +41,11 @@ def _drop_bad_faces(faces: np.ndarray):
     if len(faces) == 0:
         return faces
     # duplicate faces (any winding) — packed int64 key (np.unique with
-    # axis= is many times slower on large meshes)
-    key = np.sort(faces, axis=1)
+    # axis= is many times slower on large meshes); min/mid/max beats a
+    # per-row np.sort
+    lo = np.minimum(np.minimum(faces[:, 0], faces[:, 1]), faces[:, 2])
+    hi = np.maximum(np.maximum(faces[:, 0], faces[:, 1]), faces[:, 2])
+    key = np.stack([lo, faces.sum(1) - lo - hi, hi], axis=1)
     v = int(key.max()) + 1
     if v ** 3 < 2**62:
         packed = (key[:, 0] * v + key[:, 1]) * v + key[:, 2]
@@ -52,9 +55,10 @@ def _drop_bad_faces(faces: np.ndarray):
     return faces[np.sort(first)]
 
 
-def _face_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
-    """Connected components over shared vertices (vectorized sparse
-    graph pass — a Python union-find loop is minutes at 1M faces)."""
+def _vertex_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
+    """Per-vertex connected-component labels over shared vertices
+    (vectorized sparse graph pass — a Python union-find loop is minutes
+    at 1M faces)."""
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components
 
@@ -63,13 +67,17 @@ def _face_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
     data = np.ones(len(rows), np.int8)
     g = coo_matrix((data, (rows, cols)), shape=(num_verts, num_verts))
     _, labels = connected_components(g, directed=False)
-    return labels[faces[:, 0]]
+    return labels
+
+
+def _face_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
+    return _vertex_components(num_verts, faces)[faces[:, 0]]
 
 
 def _compact(verts: np.ndarray, faces: np.ndarray):
-    used = np.unique(faces)
-    remap = np.full(len(verts), -1, np.int64)
-    remap[used] = np.arange(len(used))
+    used = np.zeros(len(verts), bool)
+    used[faces.reshape(-1)] = True
+    remap = np.cumsum(used, dtype=np.int64) - 1
     return verts[used], remap[faces]
 
 
@@ -96,20 +104,24 @@ def clean_mesh(
         verts, faces = isotropic_remesh(verts, faces, size=remesh_size)
         faces = _drop_bad_faces(faces)
 
-    comp = _face_components(len(verts), faces)
-    labels, counts = np.unique(comp, return_counts=True)
+    # vectorized component filter: per-label face counts + per-label
+    # vertex bboxes in one sorted reduceat pass (a per-component Python
+    # loop is O(components x faces) — minutes on noisy multi-component
+    # isosurfaces)
+    vlabels = _vertex_components(len(verts), faces)
+    comp = vlabels[faces[:, 0]]
+    n_label = int(vlabels.max()) + 1 if len(vlabels) else 0
+    counts = np.bincount(comp, minlength=n_label)
+    order = np.argsort(vlabels, kind="stable")
+    sorted_labels = vlabels[order]
+    starts = np.searchsorted(sorted_labels, np.arange(n_label))
+    sv = verts[order]
+    vmax = np.maximum.reduceat(sv, starts, axis=0)
+    vmin = np.minimum.reduceat(sv, starts, axis=0)
+    diam = np.linalg.norm(vmax - vmin, axis=1)
     bbox_diag = float(np.linalg.norm(verts.max(0) - verts.min(0))) + 1e-12
-    keep = np.ones(len(faces), bool)
-    for label, count in zip(labels, counts):
-        m = comp == label
-        if count < min_f:
-            keep &= ~m
-            continue
-        vs = verts[np.unique(faces[m])]
-        diam = float(np.linalg.norm(vs.max(0) - vs.min(0)))
-        if diam < (min_d / 100.0) * bbox_diag:
-            keep &= ~m
-    faces = faces[keep]
+    bad = (counts < min_f) | (diam < (min_d / 100.0) * bbox_diag)
+    faces = faces[~bad[comp]]
     if len(faces) == 0:
         return verts[:0], faces
     verts, faces = _compact(verts, faces)
@@ -179,20 +191,29 @@ def decimate_mesh(
 
 
 def _cluster_decimate(verts: np.ndarray, faces: np.ndarray, target: int):
-    """Grid vertex clustering; resolution found by bisection on the
-    resulting face count."""
-    lo_res, hi_res = 8, 1024
+    """Grid vertex clustering at a resolution found by probe +
+    power-law estimate (output faces scale ~res^2 on a surface, so two
+    probes bracket the target far faster than blind bisection — each
+    probe is a full clustering pass over the mesh)."""
+    res = 96
     best = None
-    for _ in range(12):
-        res = int(np.sqrt(lo_res * hi_res))
+    lo_res, hi_res = 8, 1024
+    for _ in range(7):
+        res = int(np.clip(res, lo_res, hi_res))
         v, f = _cluster_once(verts, faces, res)
-        if len(f) > target:
-            hi_res = res
+        n = len(f)
+        if n > target:
+            hi_res = min(hi_res, res - 1)
         else:
             best = (v, f)
-            lo_res = res
-        if hi_res - lo_res <= 1:
+            lo_res = max(lo_res, res)
+            if n > 0.8 * target:
+                break
+        if hi_res <= lo_res:
             break
+        # surface scaling: faces ~ res^2 -> jump straight to the estimate
+        est = int(res * np.sqrt(target / max(n, 1)))
+        res = est if lo_res < est < hi_res else (lo_res + hi_res) // 2
     if best is None:
         best = _cluster_once(verts, faces, lo_res)
     return best
@@ -205,10 +226,13 @@ def _cluster_once(verts: np.ndarray, faces: np.ndarray, res: int):
     key = np.minimum(cell.astype(np.int64), res - 1)
     packed = (key[:, 0] * res + key[:, 1]) * res + key[:, 2]
     uniq, inv = np.unique(packed, return_inverse=True)
-    # representative = mean of clustered vertices
-    sums = np.zeros((len(uniq), 3), np.float64)
-    np.add.at(sums, inv, verts)
+    # representative = mean of clustered vertices (bincount per column —
+    # np.add.at is several times slower)
     counts = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    sums = np.stack([
+        np.bincount(inv, weights=verts[:, c], minlength=len(uniq))
+        for c in range(3)
+    ], axis=1)
     new_verts = (sums / counts[:, None]).astype(np.float32)
     new_faces = inv[faces]
     new_faces = _drop_bad_faces(new_faces)

@@ -216,9 +216,11 @@ def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
         m = len(fi)
         island_uv = uv2 * scale + np.array([x0, y0], np.float32)
         # unique corners within the island -> shared uv entries
+        # (packed 1D key: np.unique(axis=0) is several times slower)
         corners = np.round(island_uv.reshape(-1, 2) * 1e6).astype(np.int64)
+        packed = corners[:, 0] * (np.int64(1) << 21) + corners[:, 1]
         _, first, inv = np.unique(
-            corners, axis=0, return_index=True, return_inverse=True
+            packed, return_index=True, return_inverse=True
         )
         uvs.append(island_uv.reshape(-1, 2)[first])
         indices[fi] = (inv + offset).reshape(m, 3)
