@@ -31,13 +31,13 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--remat", default="full",
-                    choices=["none", "full", "dots", "flash"])
+                    choices=["none", "full", "dots", "flash", "flash_mlp"])
     ap.add_argument("--scan", action="store_true",
                     help="scan_blocks training layout (one compiled "
                          "block body instead of 28 unrolled)")
     args = ap.parse_args()
     remat = {"none": False, "full": True, "dots": "dots",
-             "flash": "flash"}[args.remat]
+             "flash": "flash", "flash_mlp": "flash_mlp"}[args.remat]
 
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT

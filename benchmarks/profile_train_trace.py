@@ -20,7 +20,8 @@ import numpy as np
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     remat = {"none": False, "full": True, "dots": "dots",
-             "flash": "flash"}[sys.argv[2] if len(sys.argv) > 2 else "none"]
+             "flash": "flash", "flash_mlp": "flash_mlp"}[sys.argv[2] if len(sys.argv) > 2 else "none"]
+    scan = len(sys.argv) > 3 and sys.argv[3] == "scan"
 
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT
@@ -31,7 +32,7 @@ def main():
     model = DiT(seq_length=2048, in_channels=68, condition_channels=768,
                 hidden_size=1152, depth=28, num_heads=16,
                 cond_drop_prob=0.1, attn_proj_bias=True,
-                dtype=jnp.bfloat16, remat=remat)
+                dtype=jnp.bfloat16, remat=remat, scan_blocks=scan)
     diffusion = create_diffusion(
         timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
         parameterization="v", diffusion_steps=1000)
@@ -62,22 +63,11 @@ def main():
             state, metrics = step(state, batch, key)
         float(metrics["loss"])
 
-    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    assert paths, f"no xplane under {logdir}"
-    from xprof.convert.raw_to_tool_data import xspace_to_tool_data
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_sdf_refine import aggregate
 
-    for tool in ("framework_op_stats", "hlo_stats"):
-        try:
-            data, _ = xspace_to_tool_data(paths, f"{tool}^", {})
-        except Exception as e:
-            print(f"[{tool}] failed: {e!r}")
-            continue
-        if isinstance(data, bytes):
-            data = data.decode("utf-8", "replace")
-        lines = str(data).splitlines()
-        print(f"\n===== {tool} ({len(lines)} rows) =====")
-        for ln in lines[:60]:
-            print(ln[:400])
+    aggregate(logdir, f"train step B={B} remat={remat} (2 steps)",
+              n_top=28)
 
 
 if __name__ == "__main__":

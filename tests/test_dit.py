@@ -195,7 +195,7 @@ def test_scan_blocks_matches_unrolled():
                                atol=0, rtol=0)
 
 
-@pytest.mark.parametrize("remat", [True, "dots", "flash"])
+@pytest.mark.parametrize("remat", [True, "dots", "flash", "flash_mlp"])
 def test_scan_blocks_remat_grad_matches(remat):
     """Value+grad of the scanned model under every remat policy equals
     the unrolled no-remat model on converted params."""

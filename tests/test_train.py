@@ -453,7 +453,7 @@ def test_remat_modes_match_numerics():
     """remat=False / 'dots' / True are pure memory-speed trade-offs —
     one train step must produce identical losses and params."""
     results = []
-    for remat in (False, "dots", "flash", True):
+    for remat in (False, "dots", "flash", "flash_mlp", True):
         model = DiT(seq_length=8, in_channels=4, condition_channels=6,
                     hidden_size=16, depth=1, num_heads=2, cond_drop_prob=0.1,
                     dtype=jnp.float32, remat=remat)

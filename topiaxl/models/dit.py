@@ -251,10 +251,16 @@ class DiT(nn.Module):
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "flash_out", "flash_lse"),
                 )
+            elif self.remat == "flash_mlp":
+                body = nn.remat(
+                    body, static_argnums=(),
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "flash_out", "flash_lse", "mlp_fc1"),
+                )
             elif isinstance(self.remat, str):
                 raise ValueError(
                     f"remat={self.remat!r}: expected False, True, 'dots', "
-                    "or 'flash'")
+                    "'flash', or 'flash_mlp'")
             elif self.remat:
                 body = nn.remat(body, static_argnums=())
             self.blocks_scan = nn.scan(
@@ -303,12 +309,21 @@ class DiT(nn.Module):
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "flash_out", "flash_lse"),
             )
+        elif self.remat == "flash_mlp":
+            # flash residuals + the fc1 pre-activation: the backward
+            # recomputes neither the attention forward nor the widest
+            # (hidden -> 4*hidden) matmul, for +[*, 4h] bf16 per block
+            block = nn.remat(
+                DiTBlock, static_argnums=(),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse", "mlp_fc1"),
+            )
         elif isinstance(self.remat, str):
             # any other string would silently fall through to full-block
             # remat below — reject it instead
             raise ValueError(
                 f"remat={self.remat!r}: expected False, True, 'dots', "
-                "or 'flash'")
+                "'flash', or 'flash_mlp'")
         elif self.remat:
             block = nn.remat(DiTBlock, static_argnums=())
         self.blocks = [

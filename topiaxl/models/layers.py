@@ -77,9 +77,15 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from jax.ad_checkpoint import checkpoint_name
+
         dense = _dense(self.quant)
         x = dense(self.hidden_features, dtype=self.dtype, name="fc1",
                   kernel_init=nn.initializers.xavier_uniform())(x)
+        # named for the 'flash_mlp' remat policy: saving the fc1
+        # pre-activation lets the backward skip the widest matmul's
+        # recompute while costing [*, 4*hidden] bf16 per block
+        x = checkpoint_name(x, "mlp_fc1")
         x = nn.gelu(x, approximate=True)
         x = dense(self.out_features, dtype=self.dtype, name="fc2",
                   kernel_init=nn.initializers.xavier_uniform())(x)

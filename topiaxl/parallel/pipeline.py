@@ -139,10 +139,16 @@ def make_pp_forward(model, mesh: Mesh, n_micro: int,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "flash_out", "flash_lse"),
             )
+        elif model.remat == "flash_mlp":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse", "mlp_fc1"),
+            )
         elif isinstance(model.remat, str):
             raise ValueError(
                 f"remat={model.remat!r}: expected False, True, 'dots', "
-                "or 'flash'")
+                "'flash', or 'flash_mlp'")
         elif model.remat:
             body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, stacked_local)
