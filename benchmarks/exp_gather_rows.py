@@ -46,20 +46,22 @@ def main():
     pts = jnp.asarray(rng.uniform(-0.9, 0.9, (P, 3)).astype("f"))
     cand = jnp.asarray(rng.integers(0, n, (P, 16)).astype("i4"))
 
+    # chunked like the real pipeline (one 2M-point jit OOMs: [P*K,3]
+    # f32 pads 42x on TPU tiles)
     for gather in ("flat", "rows"):
         for fb in (True, False):
-            t = timeit(lambda: primx_lib.query(
-                params, pts, dim_feat=6, prim_shape=8,
-                with_fallback=fb, outputs=("sdf",), cand_idx=cand,
-                gather=gather))
+            t = timeit(lambda: primx_lib.query_chunked(
+                params, pts, chunk=32768, dim_feat=6, prim_shape=8,
+                with_fallback=fb, outputs=("sdf",),
+                cand_idx=cand, gather=gather))
             print(f"refine C=1 gather={gather} fallback={int(fb)}: "
                   f"{t:7.3f} s ({P/t/1e6:.1f} Mpts/s)", flush=True)
 
     Pb = 1 << 20  # 1M bake-like points
     ptsb = jnp.asarray(rng.uniform(-0.9, 0.9, (Pb, 3)).astype("f"))
     for gather in ("flat", "rows"):
-        t = timeit(lambda: primx_lib.query(
-            params, ptsb, dim_feat=6, prim_shape=8, top_k=16,
+        t = timeit(lambda: primx_lib.query_chunked(
+            params, ptsb, chunk=32768, dim_feat=6, prim_shape=8, top_k=16,
             with_fallback=False, outputs=("tex", "mat"),
             selector="approx", gather=gather))
         print(f"bake  C=5 gather={gather} approx: {t:7.3f} s "

@@ -224,6 +224,18 @@ def query_chunked(
     pad = (-P) % chunk
     pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
     batches = pts_p.reshape(-1, chunk, 3)
+    cand = kw.pop("cand_idx", None)
+    if cand is not None:
+        # per-point candidate lists ride along with their chunk
+        cand_p = jnp.pad(cand, ((0, pad), (0, 0))).reshape(
+            batches.shape[0], chunk, -1)
+        outs = [query(params, batches[i], cand_idx=cand_p[i], **kw)
+                for i in range(batches.shape[0])]
+        cat = {
+            k: jnp.concatenate([o[k] for o in outs], axis=0)[:P]
+            for k in outs[0]
+        }
+        return cat
     outs = [query(params, batches[i], **kw) for i in range(batches.shape[0])]
     cat = {
         k: jnp.concatenate([o[k] for o in outs], axis=0)[:P]
