@@ -28,19 +28,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 N_ITER = 64
-BQ, SK = 1024, 2048
+# bq/sk sized so acc + out f32 stay under the 16M scoped-VMEM stack
+BQ, SK = 512, 1024
 
 
 def _loop_kernel(a_ref, b_ref, o_ref, *, dn, out_shape):
+    # fori_loop with a VECTOR-level carried dependency into the lhs so
+    # the dot can be neither hoisted nor CSE'd (a scalar acc[0,0] hits a
+    # Mosaic bf16-scalar-mul legalization hole; unrolling OOMs VMEM)
     def body(i, acc):
-        # feed the iteration index back in so the loop can't be hoisted
-        a = a_ref[:] + acc[0, 0].astype(a_ref.dtype) * 0.0
+        # loop-index scalar splat keeps the dot loop-variant (vector
+        # [1,1]->full broadcasts fail to legalize on this toolchain;
+        # scalar splats take a different, supported path)
+        eps = i.astype(jnp.float32) * jnp.float32(1e-20)
+        a = (a_ref[:].astype(jnp.float32) + eps).astype(a_ref.dtype)
         return acc + jax.lax.dot_general(
             a, b_ref[:], dimension_numbers=(dn, ((), ())),
             preferred_element_type=jnp.float32)
 
-    acc = jnp.zeros(out_shape, jnp.float32)
-    o_ref[:] = jax.lax.fori_loop(0, N_ITER, body, acc)
+    o_ref[:] = jax.lax.fori_loop(
+        0, N_ITER, body, jnp.zeros(out_shape, jnp.float32))
 
 
 def run(label, a_shape, b_shape, dn, out_shape, flops_per_dot):

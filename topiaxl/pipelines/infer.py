@@ -255,7 +255,8 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
     pts_c = jnp.asarray(np.stack([ic, jc, kc], -1).reshape(-1, 3))
     out_c = primx_lib.query_chunked(
         params, pts_c, chunk=chunk, dim_feat=dim_feat,
-        prim_shape=prim_shape, top_k=top_k, outputs=("sdf",))
+        prim_shape=prim_shape, top_k=top_k, outputs=("sdf",),
+        gather="rows")
     grid_c = np.asarray(out_c["sdf"].astype(jnp.float16)).astype(np.float32)
     grid_c = grid_c.reshape(coarse, coarse, coarse)
     _phase("coarse_query")
@@ -322,7 +323,8 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
         pts_f = np.stack([lin[ii], lin[jj], lin[kk]], axis=-1)
         out_f = primx_lib.query_chunked(
             params, jnp.asarray(pts_f), chunk=chunk, dim_feat=dim_feat,
-            prim_shape=prim_shape, top_k=top_k, outputs=("sdf",))
+            prim_shape=prim_shape, top_k=top_k, outputs=("sdf",),
+            gather="rows")
         flat = grid.reshape(-1)
         flat[idx] = np.asarray(out_f["sdf"])[:, 0]
         grid = flat.reshape(res, res, res)
@@ -340,7 +342,8 @@ def _bake_query_u8(params, pts, dim_feat: int = 6, prim_shape: int = 8,
     texture bake being ~17% of stage-2 latency."""
     out = primx_lib.query(
         params, pts, dim_feat=dim_feat, prim_shape=prim_shape, top_k=top_k,
-        with_fallback=False, outputs=("tex", "mat"), selector="approx")
+        with_fallback=False, outputs=("tex", "mat"), selector="approx",
+        gather="rows")
     v = jnp.concatenate([out["tex"], out["mat"]], axis=-1)
     return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
@@ -433,7 +436,8 @@ def _refine_cells_int8(params, ids, coarse: int, res: int, sdf_range,
     # otherwise read 0 and fabricate crossings (costs <2% per micro-bench)
     out = primx_lib.query(
         params, pts, dim_feat=dim_feat, prim_shape=prim_shape,
-        with_fallback=True, outputs=("sdf",), cand_idx=cand)
+        with_fallback=True, outputs=("sdf",), cand_idx=cand,
+        gather="rows")
     sdf = out["sdf"][:, 0]
     q = jnp.clip(sdf / sdf_range, -1.0, 1.0) * 127.0
     return jnp.round(q).astype(jnp.int8).reshape(n, f**3)
