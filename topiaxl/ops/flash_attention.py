@@ -149,7 +149,11 @@ def _fold_sizes(q, k, block_q, block_k):
     block_k = min(block_k, -(-Sk // 8) * 8)
     sq_p = -(-Sq // block_q) * block_q
     sk_p = -(-Sk // block_k) * block_k
-    d_p = max(128, -(-D // 128) * 128)
+    # head_dim stays UNPADDED in HBM (8-aligned only): Mosaic pads the
+    # lane dim to 128 internally at identical MXU cost (measured,
+    # benchmarks/exp_flash_dpad.py: bit-identical numerics, ~3% faster
+    # fwd+bwd from the dropped pad/copy traffic)
+    d_p = -(-D // 8) * 8
     return block_q, block_k, sq_p, sk_p, d_p
 
 
