@@ -48,13 +48,38 @@ def align_to_uv(v: np.ndarray, f: np.ndarray, vt: np.ndarray, ft: np.ndarray):
     glTF vertex (the reference's align_v_to_vt, utils/mesh.py:623-656).
     Also returns the source vertex index per output vertex so per-vertex
     attributes (normals) can follow the duplication."""
-    corner = np.stack([f.reshape(-1), ft.reshape(-1)], axis=1)  # [3F, 2]
-    uniq, inv = np.unique(corner, axis=0, return_inverse=True)
-    new_v = v[uniq[:, 0]]
-    new_vt = vt[uniq[:, 1]]
+    fr = f.reshape(-1).astype(np.int64)
+    ftr = ft.reshape(-1).astype(np.int64)
+    nvt = len(vt)
+    # fast path (all unwraps in this repo): every uv vertex references
+    # exactly one position, so the (pos, uv) pairs ARE the used uv
+    # vertices — an O(n) scatter instead of a sort-based unique
+    pos_of_uv = np.full(nvt, -1, np.int64)
+    pos_of_uv[ftr] = fr
+    if (pos_of_uv[ftr] == fr).all():
+        used = pos_of_uv >= 0
+        if used.all():
+            src = pos_of_uv
+            new_f = ftr
+        else:  # compact away unreferenced uv vertices
+            remap = np.cumsum(used) - 1
+            src = pos_of_uv[used]
+            vt = vt[used]
+            new_f = remap[ftr]
+        return (v[src].astype(np.float32),
+                new_f.reshape(-1, 3).astype(np.uint32),
+                vt.astype(np.float32), src)
+    # general case: unique (pos, uv) pairs via a packed int64 key (a
+    # single-key sort — np.unique(axis=0) lexsorts a void view, ~20x
+    # slower at typical corner counts)
+    key = fr * nvt + ftr
+    uniq, inv = np.unique(key, return_inverse=True)
+    src = uniq // nvt
+    new_v = v[src]
+    new_vt = vt[uniq % nvt]
     new_f = inv.reshape(-1, 3)
     return (new_v.astype(np.float32), new_f.astype(np.uint32),
-            new_vt.astype(np.float32), uniq[:, 0])
+            new_vt.astype(np.float32), src)
 
 
 def write_glb(

@@ -111,7 +111,7 @@ def _lscm_solve(v: np.ndarray, tris: np.ndarray) -> np.ndarray | None:
     """LSCM parameterization of one chart. v [n,3], tris [m,3] local ids.
     Returns uv [n, 2] or None on failure."""
     from scipy.sparse import coo_matrix
-    from scipy.sparse.linalg import lsqr
+    from scipy.sparse.linalg import lsqr, spsolve
 
     n = len(v)
     m = len(tris)
@@ -178,7 +178,17 @@ def _lscm_solve(v: np.ndarray, tris: np.ndarray) -> np.ndarray | None:
          (np.concatenate(rows), np.concatenate(cols))),
         shape=(2 * m, 2 * nf),
     ).tocsr()
-    sol = lsqr(A, rhs, atol=1e-8, btol=1e-8, iter_lim=3000)[0]
+    # direct solve of the (SPD) normal equations — LSQR needs thousands
+    # of iterations on big charts (~0.8 s per 12k-face chart); a SuperLU
+    # factorization of A^T A (~6 nnz/row) is ~20x faster at the same
+    # residual. LSQR stays as the fallback for singular/degenerate charts.
+    try:
+        ata = (A.T @ A).tocsc()
+        sol = spsolve(ata, A.T @ rhs)
+        if not np.isfinite(sol).all():
+            raise ValueError("singular normal equations")
+    except Exception:
+        sol = lsqr(A, rhs, atol=1e-8, btol=1e-8, iter_lim=3000)[0]
 
     uv = np.zeros((n, 2), np.float64)
     uv[free, 0] = sol[:nf]
