@@ -509,3 +509,33 @@ def test_extract_glb_ssaa(tmp_path):
     interior = ndimage.binary_erosion(mask, iterations=2)
     assert interior.sum() > 50
     assert _psnr(res[1][interior], res[2][interior]) > 25.0
+
+
+def test_align_to_uv_fast_and_general_paths():
+    """align_to_uv has an O(n) fast path (every uv vertex maps to one
+    position — all unwraps in this repo) and a packed-key unique general
+    path (a uv vertex shared by several positions). Both must preserve
+    per-corner (position, uv) pairs and report the right source index."""
+    from topiaxl.extract.glb import align_to_uv
+
+    rng = np.random.default_rng(7)
+    V, Vt, F = 500, 620, 900
+    v = rng.random((V, 3)).astype(np.float32)
+    vt = rng.random((Vt, 2)).astype(np.float32)
+    ft = rng.integers(0, Vt, (F, 3))
+    pos_of_uv = rng.integers(0, V, Vt)
+    f_fast = pos_of_uv[ft]                       # consistent uv -> pos
+
+    for name, f in (("fast", f_fast),
+                    ("general", np.where(
+                        np.arange(F * 3).reshape(F, 3) == 0,
+                        (f_fast + 1) % V, f_fast))):
+        nv, nf, nvt, src = align_to_uv(v, f, vt, ft)
+        # corners keep their source (position, uv) pair
+        np.testing.assert_allclose(nv[nf], v[f], err_msg=name)
+        np.testing.assert_allclose(nvt[nf], vt[ft], err_msg=name)
+        # src maps output vertices back to source positions
+        np.testing.assert_allclose(nv, v[src], err_msg=name)
+        # no duplicate (pos, uv) vertices in the output
+        pairs = {(int(s), tuple(u)) for s, u in zip(src, np.round(nvt, 7))}
+        assert len(pairs) == len(nv), name
