@@ -539,3 +539,35 @@ def test_align_to_uv_fast_and_general_paths():
         # no duplicate (pos, uv) vertices in the output
         pairs = {(int(s), tuple(u)) for s, u in zip(src, np.round(nvt, 7))}
         assert len(pairs) == len(nv), name
+
+
+def test_chart_segment_native_matches_python():
+    """The C++ chart growth (native/charts.cpp) must produce IDENTICAL
+    labels to the Python spec in lscm.segment_charts — same DFS order,
+    same running-normal cone test."""
+    import topiaxl.native as N
+    from topiaxl.extract import lscm as L
+
+    if not hasattr(N, "chart_segment"):
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    # noisy blob: many small charts + a few big ones
+    th = rng.uniform(0, np.pi, 4000)
+    ph = rng.uniform(0, 2 * np.pi, 4000)
+    import scipy.spatial as sps
+    pts = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                    np.cos(th)], 1)
+    pts *= (1 + 0.15 * rng.standard_normal((4000, 1)))
+    hull = sps.ConvexHull(pts)
+    v = pts.astype(np.float32)
+    f = hull.simplices.astype(np.int64)
+
+    lab_native = L.segment_charts(v, f, 45.0, 500)
+    orig = N.chart_segment
+    try:
+        del N.chart_segment
+        lab_py = L.segment_charts(v, f, 45.0, 500)
+    finally:
+        N.chart_segment = orig
+    assert (lab_native == lab_py).all()

@@ -21,7 +21,8 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["qem.cpp", "mt.cpp", "mc.cpp", "raster.cpp", "remesh.cpp"]
+_SOURCES = ["qem.cpp", "mt.cpp", "mc.cpp", "raster.cpp", "remesh.cpp",
+            "charts.cpp"]
 
 
 def _build() -> None:
@@ -64,6 +65,13 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.chart_segment.restype = ctypes.c_int
+        lib.chart_segment.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_float, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.isotropic_remesh.restype = ctypes.c_int
         lib.isotropic_remesh.argtypes = [
@@ -161,6 +169,29 @@ def raster_uv(uv_corners: np.ndarray, attr_corners: np.ndarray,
         cov.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.reshape(height, width, A), cov.reshape(height, width).astype(bool)
+
+
+def chart_segment(face_normals: np.ndarray, indptr: np.ndarray,
+                  indices: np.ndarray, cos_t: float,
+                  max_faces: int) -> np.ndarray:
+    """Normal-cone region-growing chart labels (same traversal as the
+    Python spec in extract/lscm.py:segment_charts). Returns [F] int64."""
+    lib = _load()
+    fn = np.ascontiguousarray(face_normals, np.float32)
+    ip = np.ascontiguousarray(indptr, np.int64)
+    ix = np.ascontiguousarray(indices, np.int64)
+    F = len(fn)
+    labels = np.empty(F, np.int64)
+    rc = lib.chart_segment(
+        fn.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ip.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ix.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        F, float(cos_t), int(max_faces),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"chart_segment failed rc={rc}")
+    return labels
 
 
 def isotropic_remesh(verts: np.ndarray, faces: np.ndarray,
