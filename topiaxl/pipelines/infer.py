@@ -650,6 +650,7 @@ def serve_assets(
     prim_shape: int = 8,
     dim_feat: int = 6,
     sampler: str = "ddim",
+    stage1_batch: int = 1,
     **extract_kw,
 ) -> list:
     """Throughput-oriented multi-asset serving: asset i+1's denoise/decode
@@ -661,6 +662,14 @@ def serve_assets(
     sum. numpy/cv2/ctypes host stages release the GIL, so the overlap is
     real even on one core.
 
+    ``stage1_batch > 1`` additionally batches the DiT/VAE stage across
+    that many assets per dispatch (one DDIM chain at batch b instead of
+    b chains at batch 1) — the CFG'd DiT step is not compute-saturated
+    at a single asset's 2048 tokens, so batching raises device
+    throughput without affecting per-asset outputs (each batch element
+    has independent noise; conditioning rides the same batch axis the
+    reference reserves for its single asset).
+
     Returns the list of GLB paths (same order as inputs).
     """
     from concurrent.futures import ThreadPoolExecutor
@@ -669,18 +678,24 @@ def serve_assets(
     output_dirs = list(output_dirs)
     assert len(ys) == len(output_dirs)
     results: list = [None] * len(ys)
+    b = max(1, int(stage1_batch))
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         futures = []
-        for i, (y, out_dir) in enumerate(zip(ys, output_dirs)):
+        for start in range(0, len(ys), b):
+            group = ys[start:start + b]
             key, gen_key = jax.random.split(key)
+            y_batch = jnp.concatenate(group, axis=0)
             params = generate_primx(
-                dit, vae, diffusion, dit_params, vae_params, y, gen_key,
-                latent_mean, latent_std, latent_nf, cfg_scale,
+                dit, vae, diffusion, dit_params, vae_params, y_batch,
+                gen_key, latent_mean, latent_std, latent_nf, cfg_scale,
                 prim_shape, dim_feat, sampler=sampler)
-            futures.append(pool.submit(
-                extract_glb, params, out_dir,
-                prim_shape=prim_shape, dim_feat=dim_feat, **extract_kw))
+            if len(group) == 1:
+                params = [params]
+            for j, p in enumerate(params):
+                futures.append(pool.submit(
+                    extract_glb, p, output_dirs[start + j],
+                    prim_shape=prim_shape, dim_feat=dim_feat, **extract_kw))
         for i, fut in enumerate(futures):
             results[i] = fut.result()
     return results
