@@ -164,3 +164,36 @@ def test_flash_backward_through_training_loss():
     for gr in grads:
         assert np.isfinite(np.asarray(gr)).all()
         assert float(jnp.abs(gr).max()) > 0
+
+
+def test_flash_multi_kv_block_paths_match_xla():
+    """Drive the MULTI-KV-block kernels (the fori/unrolled loop paths the
+    flagship single-block fast paths skip) with small custom blocks:
+    nk>1 in the forward and dq pass, multiple q chunks in the dkv pass.
+    With several KV blocks the transposed operands are lane-sliced at
+    block_k offsets, so block_k must be 128-aligned — use 128."""
+    import jax
+
+    from topiaxl.ops.attention import _xla_attention
+    from topiaxl.ops import flash_attention as fa
+
+    rng = np.random.default_rng(13)
+    B, Sq, Sk, H, hd, scale = 1, 256, 380, 2, 12, 12**-0.5
+    q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+
+    out, lse = fa._flash_forward(q, k, v, scale, block_q=128, block_k=128,
+                                 return_lse=True)
+    out_x, vjp_x = jax.vjp(lambda a, b, c:
+                           _xla_attention(a, b, c, scale), q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_x),
+                               atol=2e-5)
+    dq, dk, dv = fa._flash_backward(q, k, v, out, lse, g, scale,
+                                    block_q=128, block_k=128,
+                                    dkv_block_q=128, dkv_block_k=128)
+    for gf, gx, name in zip((dq, dk, dv), vjp_x(g), "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=5e-5,
+            err_msg=f"d{name} multi-KV-block path")
