@@ -162,12 +162,45 @@ def bench_e2e_seconds():
     return s1, s2, tm
 
 
+def _require_tpu(timeout_s: float = 900.0) -> None:
+    """Fail FAST and LOUD if the tunneled TPU is unreachable.
+
+    Backend init through the tunnel sometimes hangs indefinitely during
+    outages (observed 2026-08-17: >4 h of ``jax.devices()`` never
+    returning). Probing in a daemon thread bounds the wait; on timeout
+    or error one honest JSON line marks the outage (value 0 so the
+    schema holds — the ``tpu_unreachable`` field is the signal) instead
+    of the driver recording an empty tail."""
+    import threading
+
+    state = {}
+
+    def probe():
+        try:
+            state["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            state["error"] = repr(e)[:200]
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in state:
+        return
+    print(json.dumps({
+        "metric": "dit_denoise_steps_per_sec", "value": 0.0,
+        "unit": "steps/s", "vs_baseline": 0.0, "tpu_unreachable": True,
+        "detail": state.get("error", f"device init hung > {timeout_s}s"),
+    }), flush=True)
+    os._exit(0)
+
+
 def main():
     # Progressive output: the accumulated JSON line is (re)printed after
     # every section, so if the harness kills a long run mid-section the
     # LAST complete line still carries everything measured so far. The
     # full run is ~40 min through the tunnel (the train-step and int8
     # remote compiles dominate); sections are ordered headline-first.
+    _require_tpu()
     steps_per_sec = bench_dit_steps()
     result = {
         "metric": "dit_denoise_steps_per_sec",
