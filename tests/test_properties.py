@@ -153,3 +153,48 @@ def test_glb_roundtrip_random_meshes(nv, seed, with_normals):
     np.testing.assert_array_equal(got_v[got_f], verts[faces])
     if with_normals:
         assert "NORMAL" in prim["attributes"]
+
+
+@pytest.mark.slow
+@settings(deadline=None, max_examples=10)
+@given(
+    st.integers(1, 3),            # q blocks (block_q=128 => Sq up to 384)
+    st.integers(1, 3),            # kv blocks (block_k=128)
+    st.integers(0, 7),            # Sq padding offset (odd lengths)
+    st.integers(0, 7),            # Sk padding offset
+    st.sampled_from([8, 12, 24]), # head_dim (8-aligned and not)
+    st.integers(0, 2 ** 31 - 1),
+)
+def test_flash_fwd_bwd_matches_xla_over_shapes(nq, nk, dq_off, dk_off,
+                                               hd, seed):
+    """Property sweep of the transposed flash kernels over q/kv block
+    counts, odd sequence lengths, and head dims — forward AND both
+    backward passes must match the XLA path (interpret mode; exercises
+    every kernel branch: single/multi KV block, folded padding, lane
+    chunking)."""
+    from topiaxl.ops.attention import _xla_attention
+    from topiaxl.ops import flash_attention as fa
+
+    rng = np.random.default_rng(seed)
+    B, H = 1, 2
+    Sq = nq * 128 - dq_off
+    Sk = nk * 128 - dk_off
+    scale = hd ** -0.5
+    q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+
+    out, lse = fa._flash_forward(q, k, v, scale, block_q=128,
+                                 block_k=128, return_lse=True)
+    out_x, vjp_x = jax.vjp(
+        lambda a, b, c: _xla_attention(a, b, c, scale), q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_x),
+                               atol=3e-5)
+    dq, dk, dv = fa._flash_backward(q, k, v, out, lse, g, scale,
+                                    block_q=128, block_k=128,
+                                    dkv_block_q=128, dkv_block_k=128)
+    for gf, gx, name in zip((dq, dk, dv), vjp_x(g), "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=1e-4,
+            err_msg=f"d{name} at Sq={Sq} Sk={Sk} hd={hd}")
