@@ -55,18 +55,17 @@ def bench_dit_steps():
     params = jax.jit(model.init)(key, x, t, y)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
-    # KV for cond + null branches, computed once per asset
-    null = params["params"]["null_cond_embedding"]
-    y_pair = jnp.concatenate(
-        [y, jnp.broadcast_to(null[None, None, :], y.shape)], axis=0
-    )
+    # cond-branch KV (computed once per asset) + per-block null-branch
+    # output vectors (once per model) — the serving path's CFG layout
     kv_fn = jax.jit(lambda p, yy: model.apply(p, yy, method=DiT.precompute_kv))
-    kvs = jax.block_until_ready(kv_fn(params, y_pair))
+    kvs = jax.block_until_ready(kv_fn(params, y))
+    null_outs = jax.jit(
+        lambda p: model.apply(p, method=DiT.precompute_null_out))(params)
 
     @jax.jit
     def step(params, x, t, kvs):
-        return model.apply(params, x, t, kvs, 6.0,
-                           method=DiT.forward_with_cfg_kv)
+        return model.apply(params, x, t, kvs, null_outs, 6.0,
+                           method=DiT.forward_with_cfg_fast)
 
     out = step(params, x, t, kvs)  # compile
     # NOTE: force a scalar readback for the sync — block_until_ready does
@@ -81,7 +80,7 @@ def bench_dit_steps():
     def chain(params, x0, kvs):
         def body(x, i):
             o = model.apply(params, x, jnp.full((1,), i, jnp.int32), kvs,
-                            6.0, method=DiT.forward_with_cfg_kv)
+                            null_outs, 6.0, method=DiT.forward_with_cfg_fast)
             return o[..., :68], None
         return jax.lax.scan(body, x0, jnp.arange(25))[0]
 

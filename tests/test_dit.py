@@ -77,6 +77,33 @@ def test_precomputed_kv_matches_direct():
     np.testing.assert_allclose(np.asarray(direct), np.asarray(via_kv), atol=1e-5)
 
 
+def test_cfg_fast_matches_batch_doubled():
+    """forward_with_cfg_fast (cond-only KV + precomputed null vectors)
+    must reproduce forward_with_cfg_kv: softmax over a broadcast null
+    token is exactly uniform, so the uncond branch's cross-attn IS
+    proj(v_null). At f32 the only difference is fp summation order."""
+    model = tiny_dit()
+    params = _trained_like_params(model)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8))
+    t = jnp.array([3, 11])
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+
+    null = params["params"]["null_cond_embedding"]
+    y_null = jnp.broadcast_to(null[None, None, :], y.shape)
+    kvs_pair = model.apply(
+        params, jnp.concatenate([y, y_null], axis=0),
+        method=DiT.precompute_kv)
+    ref = model.apply(params, x, t, kvs_pair, 6.0,
+                      method=DiT.forward_with_cfg_kv)
+
+    kvs = model.apply(params, y, method=DiT.precompute_kv)
+    null_outs = model.apply(params, method=DiT.precompute_null_out)
+    fast = model.apply(params, x, t, kvs, null_outs, 6.0,
+                       method=DiT.forward_with_cfg_fast)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_cfg_scale_one_equals_cond():
     model = tiny_dit()
     params = _trained_like_params(model)

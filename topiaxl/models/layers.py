@@ -165,6 +165,15 @@ class CrossAttention(nn.Module):
         v = self.to_v(ctx).reshape(B, M, self.num_heads, head_dim)
         return k, v
 
+    def uniform_out(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Attention output when ALL kv tokens are identical (CFG null
+        branch: the null embedding broadcast over the sequence). Softmax
+        over equal logits is exactly uniform, so the attention output is
+        v itself for every query — the whole attend() collapses to
+        proj(v), independent of x. v: [B, 1, H, Dh] -> [B, 1, dim]."""
+        B = v.shape[0]
+        return self.proj(v.reshape(B, 1, self.dim))
+
     def attend(self, x: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         B, N, _ = x.shape
         head_dim = self.dim // self.num_heads

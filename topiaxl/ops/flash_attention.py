@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _chunks(bq: int, target: int = 256) -> int:
+def _chunks(bq: int, target: int = 512) -> int:
     """Split a q block into `sub` chunks for software pipelining.
 
     Chunk starts index the kernel outputs on the LANE axis, so every
@@ -205,11 +205,14 @@ def _unfold_t(x, B, H, Sq, D):
         :, :Sq, :, :D]
 
 
-def _flash_forward(q, k, v, scale, block_q=1024, block_k=2048,
+def _flash_forward(q, k, v, scale, block_q=2048, block_k=2048,
                    interpret=None, return_lse=False):
-    # defaults tuned on v5e at flagship shapes (2x2048x16x72): a single
-    # K/V block (no inner loop) + 1024-row q blocks; 2048-row q blocks
-    # exceed the 16 MB scoped-VMEM limit (f32 logits alone are 16 MB)
+    # defaults tuned on v5e at flagship shapes (2x2048x16x72,
+    # benchmarks/exp_flash_sweep2.py): a single K/V block (no inner
+    # loop) and a single 2048-row q block processed in 512-column
+    # pipelined chunks — per-chunk f32 logits are [SKp, 512] (4 MB), so
+    # the full-q block fits scoped VMEM easily; measured ~2x faster
+    # than (block_q=1024, chunk=256) in the serving chain
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if interpret is None:

@@ -56,15 +56,16 @@ def sample_tokens(
     )
 
     if cfg_scale > 0:
-        null = dit_params["params"]["null_cond_embedding"]
-        y_null = jnp.broadcast_to(null[None, None, :], y.shape)
-        y_pair = jnp.concatenate([y, y_null], axis=0)
-        kvs = dit.apply(dit_params, y_pair, method=DiT.precompute_kv)
+        # cond-only K/V + per-block null-branch vectors: the uncond
+        # branch's cross-attn over a broadcast null token collapses to
+        # one precomputed [1,1,D] vector (DiT.precompute_null_out)
+        kvs = dit.apply(dit_params, y, method=DiT.precompute_kv)
+        null_outs = dit.apply(dit_params, method=DiT.precompute_null_out)
 
         def model_fn(x, t):
             return dit.apply(
-                dit_params, x, t, kvs, cfg_scale,
-                method=DiT.forward_with_cfg_kv,
+                dit_params, x, t, kvs, null_outs, cfg_scale,
+                method=DiT.forward_with_cfg_fast,
             )
     else:
         kvs = dit.apply(dit_params, y, method=DiT.precompute_kv)
