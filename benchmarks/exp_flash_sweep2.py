@@ -45,20 +45,26 @@ def main():
         scale = 72 ** -0.5
         print(f"== {name} ({sq}x{sk}) ==")
         orig_chunks = fa._chunks
-        for block_q in (256, 512, 1024, 2048):
-            for target in (128, 256, 512):
-                fa._chunks = functools.partial(orig_chunks.__wrapped__
-                                               if hasattr(orig_chunks, '__wrapped__')
-                                               else orig_chunks, target=target)
-                f = functools.partial(fa._flash_forward, scale=scale,
-                                      block_q=block_q)
-                try:
-                    ms = time_chain(lambda q, k, v: f(q, k, v), q, k, v)
-                    print(f"  bq={block_q:5d} chunk={target:4d}  {ms:7.3f} ms")
-                except Exception as e:
-                    print(f"  bq={block_q:5d} chunk={target:4d}  FAIL "
-                          f"{type(e).__name__}: {str(e)[:80]}")
-        fa._chunks = orig_chunks
+        try:
+            for block_q in (256, 512, 1024, 2048):
+                for target in (128, 256, 512):
+                    fa._chunks = functools.partial(
+                        orig_chunks.__wrapped__
+                        if hasattr(orig_chunks, '__wrapped__')
+                        else orig_chunks, target=target)
+                    f = functools.partial(fa._flash_forward, scale=scale,
+                                          block_q=block_q)
+                    try:
+                        ms = time_chain(lambda q, k, v: f(q, k, v), q, k, v)
+                        print(f"  bq={block_q:5d} chunk={target:4d}  "
+                              f"{ms:7.3f} ms")
+                    except Exception as e:
+                        print(f"  bq={block_q:5d} chunk={target:4d}  FAIL "
+                              f"{type(e).__name__}: {str(e)[:80]}")
+        finally:
+            # an interrupt mid-sweep must not leave the module global
+            # patched for the rest of the process
+            fa._chunks = orig_chunks
 
 
 if __name__ == "__main__":

@@ -219,6 +219,64 @@ def test_nearest_inpaint():
     assert (out[12:20, 12:20] == 1.0).all()
 
 
+def test_inpaint_branches_agree():
+    """All three inpaint implementations (native EDT / cv2 / scipy)
+    produce the same covered-texel values and fill the same band up to
+    L2-vs-chamfer boundary texels; nearest-site assignment agrees
+    everywhere the nearest site is unique."""
+    from topiaxl.extract import inpaint as ip
+
+    rng = np.random.default_rng(7)
+    H = W = 96
+    feats = rng.random((H, W, 4)).astype(np.float32)
+    mask = np.zeros((H, W), bool)
+    mask[20:70, 30:60] = True
+    mask[5:15, 70:90] = True
+
+    outs = {}
+    for name, regions, fill in ip._BRANCHES:
+        try:
+            region, search = regions(mask, 6, 3)
+            out = feats.copy()
+            ys, xs = np.nonzero(region)
+            fill(feats, out, ys, xs, search)
+            outs[name] = (out, region)
+        except ImportError:
+            continue
+    assert "native" in outs and "scipy" in outs  # both always available
+
+    ref_out, ref_region = outs["scipy"]
+    for name, (out, region) in outs.items():
+        assert np.array_equal(out[mask], feats[mask]), name
+        # identical band membership for exact-EDT impls; cv2's 5x5
+        # chamfer approximation may differ on a few boundary texels
+        if name != "cv2":
+            assert np.array_equal(region, ref_region), name
+        both = region & ref_region
+        # filled values agree except at nearest-site ties (two sites at
+        # the same distance): tolerate a small disagreement fraction
+        diff = (out[both] != ref_out[both]).any(-1).mean()
+        assert diff < 0.12, (name, diff)
+
+
+def test_native_edt_matches_scipy():
+    from scipy import ndimage
+
+    from topiaxl.native import edt_index
+
+    rng = np.random.default_rng(3)
+    mask = rng.random((53, 71)) < 0.03
+    mask[0, 0] = True
+    d2, idx = edt_index(mask)
+    d_ref = ndimage.distance_transform_edt(~mask)
+    np.testing.assert_array_equal(d2, np.round(d_ref ** 2).astype(np.int64))
+    # chosen sites must be actual sites at exactly the reported distance
+    sy, sx = idx // 71, idx % 71
+    assert mask[sy, sx].all()
+    yy, xx = np.mgrid[:53, :71]
+    np.testing.assert_array_equal((yy - sy) ** 2 + (xx - sx) ** 2, d2)
+
+
 def test_glb_roundtrip(tmp_path, sphere_mesh):
     v, f = sphere_mesh
     vn = compute_vertex_normal(v, f)

@@ -1,14 +1,96 @@
 """Texture-seam inpainting by nearest covered texel.
 
 Replaces the reference's dilation-band + sklearn-KDTree KNN fill
-(inference.py:200-211) with a single exact Euclidean distance transform
-(scipy EDT with feature indices) — same result, no per-point tree walk.
+(inference.py:200-211) with exact Euclidean distance transforms: the
+pad band and the inside search ring come from one EDT each, and the
+fill reads each band texel's nearest ring texel from the EDT's
+nearest-site indices — same result as the KNN fill, no tree walk.
+
+Three implementations, tried in order, with the chosen branch recorded
+into ``info_out`` (VERDICT r2: the previous silent fallbacks made the
+driver-environment timings unattributable):
+
+1. ``native`` — the in-repo C++ exact EDT (native/edt.cpp), built from
+   source on first use; deterministic across environments.
+2. ``cv2``    — OpenCV's distanceTransformWithLabels.
+3. ``scipy``  — pure-EDT formulation (NO iterated binary_dilation /
+   erosion, which cost seconds at 1024^2 on 1-core hosts).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from scipy import ndimage
+
+
+def _regions_native(mask: np.ndarray, pad_width: int, search_ring: int):
+    from ..native import edt_index
+
+    d2_out, _ = edt_index(mask)
+    inpaint_region = (d2_out <= pad_width * pad_width) & ~mask
+    d2_in, _ = edt_index(~mask)
+    search_region = mask & (d2_in <= search_ring * search_ring)
+    return inpaint_region, search_region
+
+
+def _fill_native(feats, out, ys, xs, search_region):
+    from ..native import edt_index
+
+    _, idx = edt_index(search_region)
+    src = idx[ys, xs]
+    W = feats.shape[1]
+    out[ys, xs] = feats[src // W, src % W]
+
+
+def _regions_cv2(mask: np.ndarray, pad_width: int, search_ring: int):
+    import cv2
+
+    d_out = cv2.distanceTransform(
+        np.where(mask, 0, 255).astype(np.uint8), cv2.DIST_L2, 5)
+    inpaint_region = (d_out <= pad_width) & ~mask
+    d_in = cv2.distanceTransform(
+        np.where(mask, 255, 0).astype(np.uint8), cv2.DIST_L2, 5)
+    search_region = mask & (d_in <= search_ring)
+    return inpaint_region, search_region
+
+
+def _fill_cv2(feats, out, ys, xs, search_region):
+    import cv2
+
+    src = np.where(search_region, 0, 255).astype(np.uint8)
+    _, labels = cv2.distanceTransformWithLabels(
+        src, cv2.DIST_L2, 5, labelType=cv2.DIST_LABEL_PIXEL)
+    zy, zx = np.nonzero(search_region)  # raster order == label order
+    li = labels[ys, xs] - 1
+    out[ys, xs] = feats[zy[li], zx[li]]
+
+
+def _regions_scipy(mask: np.ndarray, pad_width: int, search_ring: int):
+    from scipy import ndimage
+
+    # pure EDT band/ring — NOT iterations=pad_width dilations (which
+    # measured ~2 s/asset at 1024^2); the L2 band differs from the
+    # iterated 4/8-connected band only at corner pixels, all of which
+    # still read their nearest covered texel
+    d_out = ndimage.distance_transform_edt(~mask)
+    inpaint_region = (d_out <= pad_width) & ~mask
+    d_in = ndimage.distance_transform_edt(mask)
+    search_region = mask & (d_in <= search_ring)
+    return inpaint_region, search_region
+
+
+def _fill_scipy(feats, out, ys, xs, search_region):
+    from scipy import ndimage
+
+    _, (ind_y, ind_x) = ndimage.distance_transform_edt(
+        ~search_region, return_indices=True)
+    out[ys, xs] = feats[ind_y[ys, xs], ind_x[ys, xs]]
+
+
+_BRANCHES = (
+    ("native", _regions_native, _fill_native),
+    ("cv2", _regions_cv2, _fill_cv2),
+    ("scipy", _regions_scipy, _fill_scipy),
+)
 
 
 def nearest_inpaint(
@@ -16,52 +98,31 @@ def nearest_inpaint(
     mask: np.ndarray,    # [H, W] bool coverage
     pad_width: int = 32,
     search_ring: int = 3,
+    info_out: dict | None = None,
 ) -> np.ndarray:
-    """Fill a ``pad_width``-pixel dilation band around the coverage mask
-    with the value of the nearest covered texel (taken from a thin ring
-    just inside the boundary, like the reference's eroded search region).
+    """Fill a ``pad_width``-pixel band around the coverage mask with the
+    value of the nearest covered texel (taken from a thin ring just
+    inside the boundary, like the reference's eroded search region).
+
+    Pass ``info_out={}`` to receive ``{"branch": name, "pixels": n}``
+    describing which implementation actually ran.
     """
     if not mask.any():
         return feats
-    try:
-        # one distance transform each replaces pad_width iterated
-        # dilations + search_ring erosions (scipy loops cost ~0.3 s/asset
-        # at 1024^2 on the 1-core host; the L2 band differs from the
-        # iterated 4/8-connected band only at corner pixels, all of which
-        # still read their nearest covered texel)
-        import cv2
-
-        d_out = cv2.distanceTransform(
-            np.where(mask, 0, 255).astype(np.uint8), cv2.DIST_L2, 5)
-        inpaint_region = (d_out <= pad_width) & ~mask
-        d_in = cv2.distanceTransform(
-            np.where(mask, 255, 0).astype(np.uint8), cv2.DIST_L2, 5)
-        search_region = mask & (d_in <= search_ring)
-    except Exception:
-        inpaint_region = ndimage.binary_dilation(
-            mask, iterations=pad_width) & ~mask
-        search_region = mask.copy()
-        interior = ndimage.binary_erosion(search_region,
-                                          iterations=search_ring)
-        search_region &= ~interior
-    if not search_region.any():
-        search_region = mask
-
-    out = feats.copy()
-    ys, xs = np.nonzero(inpaint_region)
-    try:
-        # OpenCV's C++ distance transform with per-zero-pixel labels is
-        # ~10x scipy's EDT on the single-core hosts this runs on
-        import cv2
-
-        src = np.where(search_region, 0, 255).astype(np.uint8)
-        _, labels = cv2.distanceTransformWithLabels(
-            src, cv2.DIST_L2, 5, labelType=cv2.DIST_LABEL_PIXEL)
-        zy, zx = np.nonzero(search_region)  # raster order == label order
-        li = labels[ys, xs] - 1
-        out[ys, xs] = feats[zy[li], zx[li]]
-    except Exception:
-        _, (ind_y, ind_x) = ndimage.distance_transform_edt(
-            ~search_region, return_indices=True)
-        out[ys, xs] = feats[ind_y[ys, xs], ind_x[ys, xs]]
-    return out
+    last_err: Exception | None = None
+    for name, regions, fill in _BRANCHES:
+        try:
+            inpaint_region, search_region = regions(
+                mask, pad_width, search_ring)
+            if not search_region.any():
+                search_region = mask
+            out = feats.copy()
+            ys, xs = np.nonzero(inpaint_region)
+            fill(feats, out, ys, xs, search_region)
+            if info_out is not None:
+                info_out["branch"] = name
+                info_out["pixels"] = int(len(ys))
+            return out
+        except Exception as e:  # noqa: BLE001 — try the next impl
+            last_err = e
+    raise RuntimeError(f"all inpaint branches failed: {last_err!r}")

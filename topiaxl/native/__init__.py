@@ -22,7 +22,7 @@ _LIB = None
 
 
 _SOURCES = ["qem.cpp", "mt.cpp", "mc.cpp", "raster.cpp", "remesh.cpp",
-            "charts.cpp"]
+            "charts.cpp", "edt.cpp"]
 
 
 def _build() -> None:
@@ -72,6 +72,11 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_float, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.edt_index.restype = ctypes.c_int
+        lib.edt_index.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.isotropic_remesh.restype = ctypes.c_int
         lib.isotropic_remesh.argtypes = [
@@ -192,6 +197,24 @@ def chart_segment(face_normals: np.ndarray, indptr: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"chart_segment failed rc={rc}")
     return labels
+
+
+def edt_index(sites: np.ndarray):
+    """Exact squared EDT + nearest-site flat indices for a bool [H, W]
+    site mask. Returns (d2 int32 [H, W], idx int32 [H, W])."""
+    lib = _load()
+    s = np.ascontiguousarray(sites, np.uint8)
+    H, W = s.shape
+    d2 = np.empty((H, W), np.int32)
+    idx = np.empty((H, W), np.int32)
+    rc = lib.edt_index(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W,
+        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError("edt_index: empty site mask")
+    return d2, idx
 
 
 def isotropic_remesh(verts: np.ndarray, faces: np.ndarray,

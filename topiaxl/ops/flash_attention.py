@@ -47,6 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# Pipelining chunk targets are tuned INDEPENDENTLY per kernel: the
+# forward sweep (benchmarks/exp_flash_sweep2.py) only measures the
+# forward, so retuning it must not silently retune the backward dq
+# kernel (whose pipelining/VMEM tradeoff differs at its block_q).
+_FWD_CHUNK_TARGET = 512
+_BWD_DQ_CHUNK_TARGET = 512
+
 
 def _chunks(bq: int, target: int = 512) -> int:
     """Split a q block into `sub` chunks for software pipelining.
@@ -85,7 +92,7 @@ def _flash_kernel(q_ref, k_ref, vt_ref, o_ref, lse_ref=None, *,
         # processed in column chunks with chunk i+1's logits matmul
         # (MXU) issued before chunk i's softmax (VPU) + v^T.p, so
         # Mosaic can overlap the units
-        sub = _chunks(bq)
+        sub = _chunks(bq, target=_FWD_CHUNK_TARGET)
         c = bq // sub
         k = k_ref[0]                                    # [SKp, D]
         vt = vt_ref[0]                                  # [D, SKp]
@@ -212,7 +219,13 @@ def _flash_forward(q, k, v, scale, block_q=2048, block_k=2048,
     # loop) and a single 2048-row q block processed in 512-column
     # pipelined chunks — per-chunk f32 logits are [SKp, 512] (4 MB), so
     # the full-q block fits scoped VMEM easily; measured ~2x faster
-    # than (block_q=1024, chunk=256) in the serving chain
+    # than (block_q=1024, chunk=256) in the serving chain.
+    # VMEM headroom budget at these defaults: lg + lg_next + p are
+    # ~3x [2048, 512] f32 = 12 MB live, plus double-buffered bf16
+    # operands — close to the 16 MB scoped limit. A chunk-target or
+    # head-dim bump must re-check this (drop block_q to 1024 if the
+    # estimated footprint 3*4*SKp*chunk + 2*2*(SKp*d_p + d_p*bq)
+    # approaches 16 MB).
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if interpret is None:
@@ -290,7 +303,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, kt_ref, v_ref, do_ref, lse_ref,
         k = k_ref[0]                                    # [SKp, D]
         kt = kt_ref[0]                                  # [D, SKp]
         v = v_ref[0]                                    # [SKp, D]
-        sub = _chunks(bq)
+        sub = _chunks(bq, target=_BWD_DQ_CHUNK_TARGET)
         c = bq // sub
         if skp != kv_len:
             row = jax.lax.broadcasted_iota(jnp.int32, (skp, 1), 0)
@@ -447,8 +460,8 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block_q, block_k, sq_p, sk_p, d_p = _fold_sizes(q, k, block_q, block_k)
-    # The saved lse was folded with the FORWARD's block_q (1024), which
-    # can differ from this pass's (512) for 512 < Sq < 1024: the
+    # The saved lse was folded with the FORWARD's block_q (default
+    # 2048), which can differ from this pass's for Sq below it: the
     # forward's padded length is authoritative — it is lse.shape[2].
     assert lse.shape[2] >= Sq and lse.shape[2] % 8 == 0, (
         f"lse length {lse.shape[2]} inconsistent with Sq={Sq}")

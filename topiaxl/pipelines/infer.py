@@ -604,8 +604,14 @@ def extract_glb(
     )  # [H, W, 6] = R G B 0 rough metal (reference inference.py:191)
     feats[~mask] = 0.0
     tick("bake_queries")
-    feats = nearest_inpaint(feats, mask, pad_width=inpaint_pad)
+    inpaint_info: dict = {}
+    feats = nearest_inpaint(feats, mask, pad_width=inpaint_pad,
+                            info_out=inpaint_info)
     tick("inpaint")
+    if timings_out is not None and inpaint_info:
+        # which implementation actually ran in THIS environment —
+        # the three fallbacks have very different 1-core costs
+        timings_out["inpaint_branch"] = inpaint_info.get("branch")
     if rs != texture_size:
         feats = cv2.resize(feats, (texture_size, texture_size),
                            interpolation=cv2.INTER_AREA)
