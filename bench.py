@@ -9,8 +9,10 @@ with per-block cross-attn K/V precomputed once per asset (they are
 constant over the chain).
 
 The same line also reports ``image_to_glb_seconds``: the full warm
-image->textured-GLB pipeline (ddim=25, mc_resolution=256, decimate=100k,
-1024^2 textures — the BASELINE.md <30 s target). "Warm" = second run in
+image->textured-GLB pipeline starting from a .png on disk — U^2-Net
+matting + DINOv2 encode + ddim=25 denoise + VAE decode + extraction at
+mc_resolution=256, decimate=100k, 1024^2 textures (the BASELINE.md
+<30 s target), each timed as its own row. "Warm" = second run in
 the process: remote compiles through the tunneled backend take minutes
 and are NOT cacheable across processes (the persistent compilation cache
 is written but never hit under this backend), so cold numbers measure
@@ -37,6 +39,8 @@ import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 13.0   # estimated A100 fp16 reference (docstring)
 E2E_TARGET_S = 30.0             # BASELINE.md: <30 s image->GLB on one v5e
+STEP_TFLOPS = 6.07              # per CFG'd denoise step (docstring)
+PEAK_BF16_TFLOPS = 197.0        # TPU v5e bf16 peak
 
 
 def bench_dit_steps():
@@ -95,14 +99,66 @@ def bench_dit_steps():
     return 25 * n / dt
 
 
-def bench_e2e_seconds():
-    """Warm image->GLB wall-clock at the BASELINE.md operating point."""
+def _write_bench_image(path="/tmp/topiaxl_bench_input.png"):
+    """Deterministic synthetic object photo: the headline chain must
+    genuinely start at a .png on disk (VERDICT r2 item 2)."""
+    import cv2
     import numpy as np
 
+    img = np.full((512, 512, 3), 255, np.uint8)
+    cv2.circle(img, (256, 276), 140, (170, 96, 52), -1)
+    cv2.rectangle(img, (196, 116), (316, 236), (52, 118, 196), -1)
+    cv2.circle(img, (256, 276), 60, (240, 220, 96), -1)
+    cv2.imwrite(path, img)
+    return path
+
+
+def _sphere_asset_device(prim_shape: int = 8):
+    """Flagship-scale sphere-shell PrimX built ON DEVICE (random DiT
+    weights produce degenerate fields, so stage 2 is timed on this
+    asset). Building it with jnp under jit — not uploading 25 MB of
+    host arrays inside the timed region — matches the real pipeline,
+    whose stage-1 output already lives on device (r2's bench paid a
+    ~2.3 s hidden upload here that made the breakdown not sum)."""
+    from topiaxl.models.primx import PrimXParams, local_grid
+
+    @jax.jit
+    def build():
+        n = 2048
+        # same construction as rounds 1-2 (random directions on the
+        # 0.55-sphere) so the stage-2 numbers stay comparable
+        v = jax.random.normal(jax.random.PRNGKey(0), (n, 3))
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        pos = v * 0.55
+        scale = jnp.full((n, 1), 0.07)
+        world = pos[:, None, :] + 0.07 * local_grid(prim_shape)[None]
+        sdf = jnp.linalg.norm(world, axis=2) - 0.55
+        rgb = jnp.clip(0.5 + 0.5 * world.transpose(0, 2, 1), 0.0, 1.0)
+        mat = jnp.concatenate([jnp.full((n, 1, prim_shape ** 3), 0.8),
+                               jnp.full((n, 1, prim_shape ** 3), 0.2)], 1)
+        feat = jnp.concatenate([sdf[:, None, :], rgb, mat], 1).reshape(n, -1)
+        return jnp.concatenate([scale, pos], 1), feat
+
+    srt, feat = jax.block_until_ready(build())
+    return PrimXParams(srt, feat)
+
+
+def bench_e2e_seconds():
+    """Warm image->GLB wall-clock at the BASELINE.md operating point,
+    starting from a real .png like the reference entry point
+    (inference.py:300-317): U^2-Net matting + DINOv2 encode + DDIM-25
+    denoise + VAE decode + stage-2 extraction. Matting/encoder/DiT use
+    random-init weights (cost is weight-independent); stage 2 runs on a
+    device-built synthetic sphere asset since random DiT weights yield
+    degenerate fields. Returns (rows dict, reusable ctx dict for the
+    pipelined measurement) — the rows sum to the reported total."""
+    from topiaxl.cli.infer import prepare_image
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT, VAE3D
+    from topiaxl.models.conditioner.image import DinoV2Wrapper
     from topiaxl.models.latent_stats import get_latent_stats
-    from topiaxl.models.primx import PrimXParams, local_grid
+    from topiaxl.models.matting_u2net import U2Net
+    from topiaxl.ops.matting import U2NetMatting
     from topiaxl.pipelines import infer as P
 
     key = jax.random.PRNGKey(0)
@@ -119,46 +175,88 @@ def bench_e2e_seconds():
     dit_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dit_params)
     vae_params = vae.init(key, jnp.zeros((1, 8, 8, 8, 6)), key)
     mean, std = get_latent_stats("primx_v1")
-    y = jax.random.normal(jax.random.PRNGKey(1), (1, 1370, 768))
 
-    def synthetic_asset():
-        # random DiT weights produce degenerate fields; stage 2 is timed
-        # on a flagship-scale sphere-shell asset instead
-        rng = np.random.default_rng(0)
-        n = 2048
-        v = rng.standard_normal((n, 3)).astype("f")
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        pos = (v * 0.55).astype("f")
-        scale = np.full((n, 1), 0.07, "f")
-        world = (pos[:, None, :]
-                 + scale[:, 0][:, None, None] * local_grid(8)[None])
-        sdf = np.linalg.norm(world, axis=2) - 0.55
-        rgb = np.clip(0.5 + 0.5 * world.transpose(0, 2, 1), 0, 1)
-        mat = np.concatenate([np.full((n, 1, 512), 0.8),
-                              np.full((n, 1, 512), 0.2)], 1)
-        feat = np.concatenate([sdf[:, None, :], rgb, mat], 1).reshape(n, -1)
-        return PrimXParams(jnp.asarray(np.concatenate([scale, pos], 1)),
-                           jnp.asarray(feat.astype("f")))
+    png = _write_bench_image()
+    u2net = U2Net(arch="u2net")   # the full arch rembg runs by default
+    u2_params = jax.jit(u2net.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 320, 320, 3)))
+    matter = U2NetMatting(u2_params, arch="u2net")
+    encoder = DinoV2Wrapper("dinov2_vitb14_reg")
+    encoder.init_params(jax.random.PRNGKey(4))
+    asset = _sphere_asset_device()
 
-    def one_asset(tag):
+    ex_kw = dict(mc_resolution=256, decimate=100000, texture_size=1024,
+                 batch_size=32768, pos_scale=1.0)
+
+    def one_asset(tag, seed=2):
+        r = {}
+        t0 = time.perf_counter()
+        image = prepare_image(png, matting="u2net", matter=matter)
+        r["matting_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        y = encoder(jnp.asarray(image[None]))
+        float(y.sum())  # sync through the tunnel
+        r["encode_s"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         params = P.generate_primx(
             dit, vae, diffusion, dit_params, vae_params, y,
-            jax.random.PRNGKey(2), mean, std, cfg_scale=6.0)
-        float(params.feat.sum())  # sync through the tunnel
-        s1 = time.perf_counter() - t0
+            jax.random.PRNGKey(seed), mean, std, cfg_scale=6.0)
+        float(params.feat.sum())
+        r["stage1_denoise_decode_s"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         tm = {}
-        P.extract_glb(synthetic_asset(), f"/tmp/topiaxl_bench_{tag}",
-                      mc_resolution=256, decimate=100000,
-                      texture_size=1024, batch_size=32768, pos_scale=1.0,
-                      timings_out=tm)
-        s2 = time.perf_counter() - t0
-        return s1, s2, tm
+        P.extract_glb(asset, f"/tmp/topiaxl_bench_{tag}",
+                      timings_out=tm, **ex_kw)
+        r["stage2_extract_s"] = round(time.perf_counter() - t0, 3)
+        r["stage2_breakdown_s"] = tm
+        r["total"] = round(r["matting_s"] + r["encode_s"]
+                           + r["stage1_denoise_decode_s"]
+                           + r["stage2_extract_s"], 2)
+        return r
 
     one_asset("cold")
-    s1, s2, tm = one_asset("warm")
-    return s1, s2, tm
+    # the 1-core bench host shows heavy hypervisor steal / IO-wait
+    # spikes (observed 2026-08-18: identical host stages swinging
+    # 0.15 s -> 2.2 s minute to minute), so the reported warm run is
+    # the MEDIAN of three, with all totals recorded for transparency
+    runs = [one_asset(f"warm{i}", seed=2 + i) for i in range(3)]
+    rows = sorted(runs, key=lambda r: r["total"])[1]
+    rows["e2e_runs_s"] = [r["total"] for r in runs]
+    ctx = dict(prepare_image=prepare_image, png=png, matter=matter,
+               encoder=encoder, P=P, dit=dit, vae=vae,
+               diffusion=diffusion, dit_params=dit_params,
+               vae_params=vae_params, mean=mean, std=std, asset=asset,
+               ex_kw=ex_kw)
+    return rows, ctx
+
+
+def bench_pipelined_assets_per_min(ctx, n: int = 3) -> float:
+    """assets/min with the serve_assets software pipeline (host
+    extraction of asset i overlaps device denoise of asset i+1),
+    including per-asset matting + encode like the serial chain. Reuses
+    the e2e bench's already-compiled artifacts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    P = ctx["P"]
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futs = []
+        for i in range(n):
+            image = ctx["prepare_image"](ctx["png"], matting="u2net",
+                                         matter=ctx["matter"])
+            y = ctx["encoder"](jnp.asarray(image[None]))
+            params = P.generate_primx(
+                ctx["dit"], ctx["vae"], ctx["diffusion"],
+                ctx["dit_params"], ctx["vae_params"], y,
+                jax.random.PRNGKey(50 + i), ctx["mean"], ctx["std"],
+                cfg_scale=6.0)
+            float(params.feat.sum())
+            futs.append(pool.submit(
+                P.extract_glb, ctx["asset"], f"/tmp/topiaxl_pipe_{i}",
+                **ctx["ex_kw"]))
+        for f in futs:
+            f.result()
+    return 60.0 * n / (time.perf_counter() - t0)
 
 
 def _require_tpu(timeout_s: float = 900.0) -> None:
@@ -206,27 +304,41 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        # self-updating MFU claim: 6.07 TFLOP per CFG'd step (docstring
+        # accounting) against the chip's bf16 peak
+        "mfu": round(steps_per_sec * STEP_TFLOPS / PEAK_BF16_TFLOPS, 3),
     }
     print(json.dumps(result), flush=True)
     if os.environ.get("TOPIAXL_BENCH_FAST") != "1":
         try:
-            s1, s2, s2_breakdown = bench_e2e_seconds()
-            total = s1 + s2
-            result["image_to_glb_seconds"] = round(total, 2)
+            rows, e2e_ctx = bench_e2e_seconds()
+            total = rows.pop("total")
+            result["image_to_glb_seconds"] = total
             result["image_to_glb_vs_target"] = round(E2E_TARGET_S / total, 3)
-            result["stage1_denoise_decode_s"] = round(s1, 2)
-            result["stage2_extract_s"] = round(s2, 2)
-            # per-stage host/device breakdown (VERDICT r1 item 3)
-            result["stage2_breakdown_s"] = s2_breakdown
-            # serial assets/min (BASELINE.md metric 3); the pipelined
-            # serve_assets path measures higher (benchmarks/bench_serve.py)
+            result.update(rows)   # matting/encode/stage1/stage2 + breakdown
+            # serial assets/min (BASELINE.md metric 3)
             result["assets_per_min_serial"] = round(60.0 / total, 2)
         except Exception as e:  # never lose the primary metric
             result["image_to_glb_error"] = repr(e)[:200]
+            e2e_ctx = None
         try:
             result.update(bench_fidelity())
         except Exception as e:
             result["fidelity_error"] = repr(e)[:200]
+        print(json.dumps(result), flush=True)
+        if e2e_ctx is not None:
+            try:
+                result["assets_per_min_pipelined"] = round(
+                    bench_pipelined_assets_per_min(e2e_ctx), 2)
+            except Exception as e:
+                result["pipelined_error"] = repr(e)[:200]
+        try:
+            import importlib
+
+            result["flash_parity_on_tpu"] = importlib.import_module(
+                "benchmarks.check_flash_tpu").run()
+        except Exception as e:
+            result["flash_parity_error"] = repr(e)[:200]
         print(json.dumps(result), flush=True)
         try:
             result["dit_denoise_steps_per_sec_int8"] = round(

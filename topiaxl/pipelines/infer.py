@@ -581,6 +581,8 @@ def extract_glb(
     tex_idx = np.nonzero(mask.reshape(-1))[0]
     pts_np = xyz_map.reshape(-1, 3)[tex_idx]
     P = pts_np.shape[0]
+    if timings_out is not None:
+        timings_out["bake_texels"] = int(P)
     # ONE dispatch for the whole bake (lax.map inside the jit) — a host
     # loop pays ~25-45 ms tunneled link latency per chunk; batch count is
     # padded to a multiple of 4 to bound jit buckets
