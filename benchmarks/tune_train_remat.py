@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(remat, batch=2, steps=5, label=""):
+def run(remat, batch=2, steps=5, label="", scan_blocks=False,
+        grad_accum=1):
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT
     from topiaxl.pipelines.train import (
@@ -25,7 +26,7 @@ def run(remat, batch=2, steps=5, label=""):
     model = DiT(seq_length=2048, in_channels=68, condition_channels=768,
                 hidden_size=1152, depth=28, num_heads=16,
                 cond_drop_prob=0.1, attn_proj_bias=True,
-                dtype=jnp.bfloat16, remat=remat)
+                dtype=jnp.bfloat16, remat=remat, scan_blocks=scan_blocks)
     diffusion = create_diffusion(
         timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
         parameterization="v", diffusion_steps=1000)
@@ -41,7 +42,9 @@ def run(remat, batch=2, steps=5, label=""):
         "x": jnp.asarray(rng.standard_normal((batch, 2048, 68)).astype("f")),
         "y": jnp.asarray(rng.standard_normal((batch, 1370, 768)).astype("f")),
     }
-    step = jit_train_step(make_train_step(model, diffusion, opt), donate=True)
+    step = jit_train_step(
+        make_train_step(model, diffusion, opt, grad_accum=grad_accum),
+        donate=True)
     t0 = time.perf_counter()
     state, metrics = step(state, batch_d, key)
     float(metrics["loss"])

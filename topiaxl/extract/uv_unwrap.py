@@ -181,8 +181,181 @@ def uv_metrics(v: np.ndarray, f: np.ndarray, uv: np.ndarray,
     }
 
 
-def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
-    """Shelf-pack per-island 2D parameterizations into one atlas.
+def _min_area_rotate(uv2: np.ndarray):
+    """Rotate an island's UVs to its minimum-area oriented bounding box
+    (rotating calipers over the convex hull — the xatlas trick that
+    turns diagonal/blob charts into tight rectangles). Returns
+    (uv2 at origin, w, h)."""
+    pts = uv2.reshape(-1, 2).astype(np.float64)
+    best_R = np.eye(2)
+    if len(pts) >= 3:
+        try:
+            from scipy.spatial import ConvexHull
+
+            hp = pts[ConvexHull(pts).vertices]
+            edges = np.diff(np.vstack([hp, hp[:1]]), axis=0)
+            ang = np.arctan2(edges[:, 1], edges[:, 0])
+            c, s = np.cos(-ang), np.sin(-ang)
+            R = np.stack([np.stack([c, -s], -1),
+                          np.stack([s, c], -1)], -2)    # [E, 2, 2]
+            rot = np.einsum("eij,nj->eni", R, hp)       # [E, N, 2]
+            ext = rot.max(1) - rot.min(1)               # [E, 2]
+            best = int(np.argmin(ext[:, 0] * ext[:, 1]))
+            best_R = R[best]
+        except Exception:   # degenerate hulls (collinear charts)
+            pass
+    out = uv2 @ best_R.T
+    flat = out.reshape(-1, 2)
+    lo = flat.min(0)
+    out = (out - lo).astype(np.float32)
+    size = out.reshape(-1, 2).max(0)
+    return out, float(size[0]), float(size[1])
+
+
+def _skyline_pack(sizes, pad: float, allow_rotate: bool = True):
+    """Bottom-left skyline packing into the unit square, with optional
+    90-degree rotation per rectangle. Returns [(x, y, rotated)] in input
+    order, or None if any rectangle doesn't fit."""
+    order = sorted(range(len(sizes)),
+                   key=lambda i: -max(sizes[i][0], sizes[i][1]))
+    pos = [None] * len(sizes)
+    # skyline: sorted list of [x_start, x_end, y]
+    sky = [[0.0, 1.0, 0.0]]
+
+    def find_spot(w):
+        """Lowest (then leftmost) skyline position fitting width w;
+        returns (x, y) or None."""
+        best = None
+        for i in range(len(sky)):
+            x = sky[i][0]
+            if x + w > 1.0 + 1e-12:
+                continue
+            y = 0.0
+            xe = x + w
+            j = i
+            while j < len(sky) and sky[j][0] < xe - 1e-12:
+                y = max(y, sky[j][2])
+                j += 1
+            if best is None or y < best[1] - 1e-12 or (
+                    abs(y - best[1]) <= 1e-12 and x < best[0]):
+                best = (x, y)
+        return best
+
+    def place(x, y, w, h):
+        xe = x + w
+        out = []
+        for seg in sky:
+            if seg[1] <= x + 1e-15 or seg[0] >= xe - 1e-15:
+                out.append(seg)
+            else:
+                if seg[0] < x:
+                    out.append([seg[0], x, seg[2]])
+                if seg[1] > xe:
+                    out.append([xe, seg[1], seg[2]])
+        out.append([x, xe, y + h])
+        out.sort(key=lambda s: s[0])
+        merged = [out[0]]
+        for seg in out[1:]:
+            if abs(seg[2] - merged[-1][2]) <= 1e-15 and \
+                    abs(seg[0] - merged[-1][1]) <= 1e-12:
+                merged[-1][1] = seg[1]
+            else:
+                merged.append(seg)
+        sky[:] = merged
+
+    for i in order:
+        w, h = sizes[i]
+        cands = [(w + pad, h + pad, False)]
+        if allow_rotate and abs(w - h) > 1e-12:
+            cands.append((h + pad, w + pad, True))
+        best = None
+        for (cw, ch, rot) in cands:
+            spot = find_spot(cw)
+            if spot is not None and spot[1] + ch <= 1.0 + 1e-12:
+                key = (spot[1] + ch, spot[0])
+                if best is None or key < best[0]:
+                    best = (key, spot, cw, ch, rot)
+        if best is None:
+            return None
+        _, (x, y), cw, ch, rot = best
+        place(x, y, cw, ch)
+        pos[i] = (x + pad * 0.5, y + pad * 0.5, rot)
+    return pos
+
+
+def _bitmap_try(islands, scale: float, pad_cells: int, grid: int):
+    """One bitmap-packing attempt at a fixed scale: each island is
+    rasterized to a cell bitmap (dilated by pad_cells), tried in both
+    orientations (as-is and rotated 90 degrees), and placed at the
+    lowest-then-leftmost atlas position where an FFT cross-correlation
+    with the occupancy grid reports zero overlap — charts interlock
+    instead of reserving bounding rectangles (the xatlas approach;
+    rectangles waste 35-60% on irregular LSCM blobs). Returns
+    per-island [(uv2_variant, du, dv)] or None if any island fails."""
+    from scipy import ndimage, signal
+
+    from .rasterize import rasterize_uv_atlas
+
+    order = sorted(range(len(islands)),
+                   key=lambda i: -(islands[i][2] * islands[i][3]))
+    occ = np.zeros((grid, grid), np.float32)
+    out = [None] * len(islands)
+    k = pad_cells
+
+    def try_orient(uv2, w, h):
+        Wc = int(np.ceil(w * scale * grid)) + 1
+        Hc = int(np.ceil(h * scale * grid)) + 1
+        if Wc + 2 * k > grid or Hc + 2 * k > grid:
+            return None
+        uvn = uv2 * np.float32(scale * grid) / np.array(
+            [Wc, Hc], np.float32)
+        _, mask = rasterize_uv_atlas(
+            uvn, np.zeros(uv2.shape[:2] + (1,), np.float32), Hc, Wc)
+        bmp = np.zeros((Hc + 2 * k, Wc + 2 * k), bool)
+        bmp[k:k + Hc, k:k + Wc] = mask
+        # +1 covers texel-center rasterization underestimating thin tris
+        bmp = ndimage.binary_dilation(bmp, iterations=k + 1)
+        conv = signal.fftconvolve(occ, bmp[::-1, ::-1].astype(np.float32),
+                                  mode="valid")
+        free = conv < 0.5
+        if not free.any():
+            return None
+        ys, xs = np.nonzero(free)
+        j = np.lexsort((xs, ys))[0]
+        return int(ys[j]), int(xs[j]), bmp
+
+    for i in order:
+        _, uv2, w, h = islands[i]
+        cands = [(uv2, w, h)]
+        if abs(w - h) > 1e-9:
+            # 90-degree CCW in uv space: (u, v) -> (h - v, u)
+            uv2r = np.stack([np.float32(h) - uv2[..., 1],
+                             uv2[..., 0]], axis=-1)
+            cands.append((uv2r, h, w))
+        best = None
+        for cand in cands:
+            got = try_orient(*cand)
+            if got is not None and (best is None
+                                    or got[:2] < best[0][:2]):
+                best = (got, cand)
+        if best is None:
+            return None
+        (y, x, bmp), (uv2c, _, _) = best
+        occ[y:y + bmp.shape[0], x:x + bmp.shape[1]] += bmp
+        out[i] = (uv2c, (x + k) / grid, (y + k) / grid)
+    return out
+
+
+def pack_islands(islands, num_faces: int, island_padding: float = 0.02,
+                 method: str = "auto", grid: int = 384):
+    """Pack per-island 2D parameterizations into one atlas: each island
+    is first rotated to its minimum-area OBB, then packed by rasterized
+    outline (``method='bitmap'``, xatlas-style interlocking — the
+    default for moderate island counts) or by bounding rectangle into a
+    bottom-left skyline (``method='skyline'``, used automatically above
+    300 islands where per-island FFT placement would dominate). Both
+    search the largest fitting scale — replacing the shrink-retry shelf
+    packer whose atlas coverage plateaued at ~0.31 (VERDICT r2 item 5).
 
     islands: list of [face_idx array, uv2 [m, 3, 2] (origin at 0, world
     scale), width, height]. World-proportional scaling keeps texel
@@ -191,30 +364,114 @@ def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
     """
     pad = max(island_padding, 1e-3)
     # padding is per-island and does not shrink with scale: n islands can
-    # afford at most ~1/sqrt(n) of padding each or the shelves overflow
+    # afford at most ~1/sqrt(n) of padding each or the packing overflows
     # the unit square no matter how small the islands get (noisy meshes
     # can produce thousands of tiny components)
     pad = max(min(pad, 0.7 / np.sqrt(max(len(islands), 1))), 1e-5)
-    total_area = sum((w + 1e-6) * (h + 1e-6) for _, _, w, h in islands)
-    scale = np.sqrt(0.82 / max(total_area, 1e-12))
 
-    for _ in range(48):
-        placements = _shelf_pack(
-            [(w * scale, h * scale) for _, _, w, h in islands], pad
-        )
+    islands = [[fi, *_min_area_rotate(uv2)] for fi, uv2, _, _ in islands]
+
+    if method == "auto":
+        method = "bitmap" if len(islands) <= 300 else "skyline"
+
+    if method == "bitmap":
+        # start from the tri-area-implied upper bound, ladder down to
+        # the first fitting scale, then bisect the last (fail, fit)
+        # bracket — each probe re-rasterizes every bitmap, so the
+        # ladder is coarse and the bisection short
+        tri_area = 0.0
+        for _, uv2, _, _ in islands:
+            a = uv2[:, 1] - uv2[:, 0]
+            b = uv2[:, 2] - uv2[:, 0]
+            tri_area += 0.5 * np.abs(a[:, 0] * b[:, 1]
+                                     - a[:, 1] * b[:, 0]).sum()
+        max_dim = max(max(w, h) for _, _, w, h in islands)
+        pad_cells = max(int(np.ceil(pad * grid / 2)), 1)
+        scale = min(float(np.sqrt(0.86 / max(tri_area, 1e-12))),
+                    (1.0 - 2 * (pad_cells + 1) / grid)
+                    / max(max_dim, 1e-12))
+        offsets = None
+        prev_fail = None
+        for _ in range(24):
+            got = _bitmap_try(islands, scale, pad_cells, grid)
+            if got is not None:
+                offsets = got
+                break
+            prev_fail = scale
+            scale *= 0.92
+        if offsets is not None and prev_fail is not None:
+            # refine the 8% ladder step: bisect (fit, fail) a few times
+            lo, hi = scale, prev_fail
+            for _ in range(3):
+                mid = 0.5 * (lo + hi)
+                got = _bitmap_try(islands, mid, pad_cells, grid)
+                if got is not None:
+                    offsets, scale, lo = got, mid, mid
+                else:
+                    hi = mid
+        if offsets is not None:
+            uvs = []
+            indices = np.zeros((num_faces, 3), np.int64)
+            offset = 0
+            for (fi, _, w, h), (uv2c, du, dv) in zip(islands, offsets):
+                island_uv = (uv2c * np.float32(scale)
+                             + np.array([du, dv], np.float32))
+                corners = np.round(
+                    island_uv.reshape(-1, 2) * 1e6).astype(np.int64)
+                packed = (corners[:, 0] * (np.int64(1) << 21)
+                          + corners[:, 1])
+                _, first, inv = np.unique(
+                    packed, return_index=True, return_inverse=True)
+                uvs.append(island_uv.reshape(-1, 2)[first])
+                indices[fi] = (inv + offset).reshape(len(fi), 3)
+                offset += len(first)
+            uv = np.concatenate(uvs, axis=0).astype(np.float32)
+            return np.clip(uv, 0.0, 1.0), indices
+        method = "skyline"   # pathological shapes: fall through
+
+    total_area = sum((w + 1e-6) * (h + 1e-6) for _, _, w, h in islands)
+    max_dim = max(max(w, h) for _, _, w, h in islands)
+    hi = min(float(np.sqrt(1.0 / max(total_area, 1e-12))),
+             (1.0 - 2 * pad) / max(max_dim, 1e-12))
+    lo = 0.0
+    best = None
+    for it in range(12):
+        scale = hi if it == 0 else 0.5 * (lo + hi)
+        placements = _skyline_pack(
+            [(w * scale, h * scale) for _, _, w, h in islands], pad)
         if placements is not None:
+            best = (scale, placements)
+            lo = scale
+        else:
+            hi = scale
+        if best is not None and (hi - lo) < 0.01 * hi:
             break
-        scale *= 0.92
-        pad = max(pad * 0.92, 1e-6)
-    else:
-        raise RuntimeError("uv packing failed")
+    if best is None:
+        # thousands of tiny islands with per-island padding can defeat
+        # the bisection's upper bound entirely — walk the scale down
+        scale, p = hi, pad
+        for _ in range(48):
+            scale *= 0.92
+            p = max(p * 0.92, 1e-6)
+            placements = _skyline_pack(
+                [(w * scale, h * scale) for _, _, w, h in islands], p)
+            if placements is not None:
+                best = (scale, placements)
+                break
+        else:
+            raise RuntimeError("uv packing failed")
+    scale, placements = best
 
     uvs = []
     indices = np.zeros((num_faces, 3), np.int64)
     offset = 0
-    for (fi, uv2, w, h), (x0, y0) in zip(islands, placements):
+    for (fi, uv2, w, h), (x0, y0, rot) in zip(islands, placements):
         m = len(fi)
-        island_uv = uv2 * scale + np.array([x0, y0], np.float32)
+        iuv = uv2 * np.float32(scale)
+        if rot:  # 90 degrees: (u, v) -> (h - v, u) maps WxH onto HxW
+            iuv = np.stack([np.float32(h * scale) - iuv[..., 1],
+                            iuv[..., 0]], axis=-1)
+        island_uv = iuv + np.array([x0, y0], np.float32)
         # unique corners within the island -> shared uv entries
         # (packed 1D key: np.unique(axis=0) is several times slower)
         corners = np.round(island_uv.reshape(-1, 2) * 1e6).astype(np.int64)
@@ -229,26 +486,3 @@ def pack_islands(islands, num_faces: int, island_padding: float = 0.02):
     uv = np.concatenate(uvs, axis=0).astype(np.float32)
     uv = np.clip(uv, 0.0, 1.0)
     return uv, indices
-
-
-def _shelf_pack(sizes, pad):
-    """Place rectangles into the unit square. Returns origins or None."""
-    order = sorted(range(len(sizes)), key=lambda i: -sizes[i][1])
-    pos = [None] * len(sizes)
-    x = pad
-    y = pad
-    shelf_h = 0.0
-    for i in order:
-        w, h = sizes[i]
-        if w > 1 - 2 * pad or h > 1 - 2 * pad:
-            return None
-        if x + w + pad > 1.0:
-            y += shelf_h + pad
-            x = pad
-            shelf_h = 0.0
-        if y + h + pad > 1.0:
-            return None
-        pos[i] = (x, y)
-        x += w + pad
-        shelf_h = max(shelf_h, h)
-    return pos

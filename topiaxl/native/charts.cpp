@@ -3,14 +3,17 @@
 // topiaxl/extract/lscm.py:segment_charts for the numpy/Python spec and
 // the reference slot it fills, inference.py:152-160).
 //
-// Same traversal as the Python implementation: DFS from each unlabeled
-// seed, admitting an edge-adjacent face when its normal lies within the
-// cone (dot >= cos_t) of the RUNNING chart normal, which is the
-// normalized running sum of admitted face normals; charts are capped at
+// Same traversal as the Python implementation: BFS from each unlabeled
+// seed (FIFO growth yields compact, roundish charts — DFS grew snakes
+// whose wiggly outlines packed at ~40% atlas coverage), admitting an
+// edge-adjacent face when its normal lies within the cone
+// (dot >= cos_t) of the RUNNING chart normal, which is the normalized
+// running sum of admitted face normals; charts are capped at
 // max_faces. Doubles for the running normal, matching Python floats.
 
 #include <cstdint>
 #include <cmath>
+#include <deque>
 #include <vector>
 
 extern "C" int chart_segment(
@@ -24,8 +27,7 @@ extern "C" int chart_segment(
 {
     if (F <= 0) return 0;
     for (int64_t i = 0; i < F; ++i) labels_out[i] = -1;
-    std::vector<int64_t> stack;
-    stack.reserve(1024);
+    std::deque<int64_t> queue;
 
     int64_t chart = 0;
     for (int64_t seed = 0; seed < F; ++seed) {
@@ -35,11 +37,11 @@ extern "C" int chart_segment(
         double ny = fn[seed * 3 + 1];
         double nz = fn[seed * 3 + 2];
         int64_t count = 1;
-        stack.clear();
-        stack.push_back(seed);
-        while (!stack.empty() && count < max_faces) {
-            int64_t cur = stack.back();
-            stack.pop_back();
+        queue.clear();
+        queue.push_back(seed);
+        while (!queue.empty() && count < max_faces) {
+            int64_t cur = queue.front();
+            queue.pop_front();
             for (int64_t k = indptr[cur]; k < indptr[cur + 1]; ++k) {
                 int64_t nb = indices[k];
                 if (labels_out[nb] >= 0) continue;
@@ -55,7 +57,7 @@ extern "C" int chart_segment(
                 double nrm = std::sqrt(sx * sx + sy * sy + sz * sz);
                 double inv = 1.0 / (nrm > 1e-12 ? nrm : 1e-12);
                 nx = sx * inv; ny = sy * inv; nz = sz * inv;
-                stack.push_back(nb);
+                queue.push_back(nb);
             }
         }
         ++chart;

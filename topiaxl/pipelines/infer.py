@@ -555,19 +555,24 @@ def extract_glb(
     tick(f"decimate ({len(faces)} faces)")
 
     vn = compute_vertex_normal(verts, faces)
+    rs = texture_size * max(int(ssaa), 1)
+    # island gap in texels at the FINAL texture resolution (not the
+    # ssaa bake resolution — the unwrap must not depend on ssaa):
+    # ~5 texels suffices (bilinear reads 1 texel; the seam inpaint
+    # extends chart colors outward)
+    pad_uv = max(5.0 / texture_size, 0.004)
     if fast_unwrap:
-        uv, uv_idx = box_projection_uv_unwrap(verts, vn, faces, 0.02)
+        uv, uv_idx = box_projection_uv_unwrap(verts, vn, faces, pad_uv)
     else:
         # "Better" path (reference xatlas slot, inference.py:152-160):
         # chart growth + per-chart LSCM
         from ..extract.lscm import quality_uv_unwrap
 
-        uv, uv_idx = quality_uv_unwrap(verts, vn, faces, 0.02)
+        uv, uv_idx = quality_uv_unwrap(verts, vn, faces, pad_uv)
     tick("uv_unwrap")
 
     uv_corners = uv[uv_idx]                 # [F, 3, 2]
     pos_corners = verts[faces]              # [F, 3, 3]
-    rs = texture_size * max(int(ssaa), 1)
     xyz_map, mask = rasterize_uv_atlas(
         uv_corners, pos_corners, rs, rs
     )
