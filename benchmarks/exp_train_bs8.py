@@ -23,6 +23,10 @@ CONFIGS = {
                               batch=8, grad_accum=2),
     "scan_dots_ga4": dict(remat="dots", scan_blocks=True, batch=8,
                           grad_accum=4),
+    "scan_dots_ga8": dict(remat="dots", scan_blocks=True, batch=8,
+                          grad_accum=8),
+    "scan_none_ga4": dict(remat=False, scan_blocks=True, batch=8,
+                          grad_accum=4),
 }
 
 

