@@ -27,6 +27,10 @@ CONFIGS = {
                           grad_accum=8),
     "scan_none_ga4": dict(remat=False, scan_blocks=True, batch=8,
                           grad_accum=4),
+    "scan_none_ga8": dict(remat=False, scan_blocks=True, batch=8,
+                          grad_accum=8),
+    "scan_flash_ga4": dict(remat="flash", scan_blocks=True, batch=8,
+                           grad_accum=4),
 }
 
 

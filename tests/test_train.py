@@ -32,6 +32,50 @@ def _tiny_setup(parameterization="v", learn_sigma=True):
     return model, diffusion, params
 
 
+def test_fused_update_matches_optax_chain():
+    """The one-pass fused clip+AdamW+EMA update must match the plain
+    optax chain (clip_by_global_norm -> adamw -> apply -> EMA fold) on
+    params, moments, counts, and EMA over several steps — including a
+    step where the clip triggers."""
+    import optax
+
+    from topiaxl.pipelines.train import fused_adamw_ema_update
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((32, 16)).astype("f")),
+        "b": jnp.asarray(rng.standard_normal((16,)).astype("f")),
+    }
+    opt = make_optimizer(lr=3e-3, warmup_iters=2, max_iters=50,
+                         grad_clip=1.0, weight_decay=0.01)
+    st_ref = opt.init(params)
+    st_fused = opt.init(params)
+    p_ref = params
+    p_fused = params
+    e_ref = jax.tree.map(lambda a: a + 0, params)
+    e_fused = jax.tree.map(lambda a: a + 0, params)
+
+    for i in range(4):
+        scale = 10.0 if i == 1 else 0.05  # step 1 triggers the clip
+        grads = jax.tree.map(
+            lambda a: jnp.asarray(
+                rng.standard_normal(a.shape).astype("f")) * scale, params)
+        updates, st_ref = opt.update(grads, st_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, updates)
+        e_ref = jax.tree.map(lambda e, p: e * 0.9999 + p * 1e-4,
+                             e_ref, p_ref)
+        p_fused, st_fused, e_fused = fused_adamw_ema_update(
+            grads, st_fused, p_fused, e_fused, opt.spec,
+            ema_decay=0.9999)
+
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+            np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(e_ref), jax.tree.leaves(e_fused)):
+            np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(st_ref), jax.tree.leaves(st_fused)):
+            np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-5)
+
+
 def test_cosine_warmup_schedule():
     lr = cosine_warmup_schedule(1e-3, warmup_iters=10, max_iters=100)
     assert float(lr(0)) == 0.0
