@@ -197,3 +197,35 @@ def test_flash_multi_kv_block_paths_match_xla():
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gx), atol=5e-5,
             err_msg=f"d{name} multi-KV-block path")
+
+
+def test_flash_fused_backward_matches_two_pass():
+    """The single-pass fused backward (dq+dk+dv in one kernel, taken when
+    the KV fits one block) must match the two-pass FlashAttention-2 form
+    bit-for-meaningful-bit at the same blocks, including ragged KV
+    (cross-attn-like) and ragged Sq padding."""
+    import jax
+
+    from topiaxl.ops import flash_attention as fa
+
+    rng = np.random.default_rng(23)
+    for (B, Sq, Sk, H, hd, scale) in [
+        (1, 256, 256, 2, 12, 12**-0.5),
+        (1, 250, 170, 2, 8, 8**-0.5),      # ragged Sq AND Sk
+        (2, 128, 344, 1, 24, 24**-0.5),    # Sk pads to 344 single block
+    ]:
+        q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+        out, lse = fa._flash_forward(q, k, v, scale, return_lse=True)
+        # fused: default blocks make the KV a single block
+        fused = fa._flash_backward(q, k, v, out, lse, g, scale)
+        # two-pass: force multi-KV blocks so the fused gate is skipped
+        twop = fa._flash_backward(q, k, v, out, lse, g, scale,
+                                  block_q=128, block_k=128,
+                                  dkv_block_q=128, dkv_block_k=128)
+        for gf, gt, name in zip(fused, twop, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gt), atol=2e-5,
+                err_msg=f"d{name} fused vs two-pass (Sq={Sq},Sk={Sk})")

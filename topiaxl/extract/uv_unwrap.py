@@ -300,21 +300,26 @@ def _bitmap_try(islands, scale: float, pad_cells: int, grid: int):
                    key=lambda i: -(islands[i][2] * islands[i][3]))
     occ = np.zeros((grid, grid), np.float32)
     out = [None] * len(islands)
-    k = pad_cells
+    # the occupancy grid stores RAW island masks and only the candidate
+    # is dilated, so the inter-island gap is exactly the candidate's
+    # dilation: 2*pad_cells (pad_cells per island side; ~5 texels at the
+    # default pad and 1024^2 bake). Dilating BOTH the stored and the
+    # candidate masks (the r3-era form) doubled every gap and cost ~4%
+    # atlas coverage on the bench mesh (0.58 -> 0.62, measured).
+    g = 2 * pad_cells
 
     def try_orient(uv2, w, h):
         Wc = int(np.ceil(w * scale * grid)) + 1
         Hc = int(np.ceil(h * scale * grid)) + 1
-        if Wc + 2 * k > grid or Hc + 2 * k > grid:
+        if Wc + 2 * g > grid or Hc + 2 * g > grid:
             return None
         uvn = uv2 * np.float32(scale * grid) / np.array(
             [Wc, Hc], np.float32)
         _, mask = rasterize_uv_atlas(
             uvn, np.zeros(uv2.shape[:2] + (1,), np.float32), Hc, Wc)
-        bmp = np.zeros((Hc + 2 * k, Wc + 2 * k), bool)
-        bmp[k:k + Hc, k:k + Wc] = mask
-        # +1 covers texel-center rasterization underestimating thin tris
-        bmp = ndimage.binary_dilation(bmp, iterations=k + 1)
+        bmp = np.zeros((Hc + 2 * g, Wc + 2 * g), bool)
+        bmp[g:g + Hc, g:g + Wc] = mask
+        bmp = ndimage.binary_dilation(bmp, iterations=g)
         conv = signal.fftconvolve(occ, bmp[::-1, ::-1].astype(np.float32),
                                   mode="valid")
         free = conv < 0.5
@@ -322,7 +327,7 @@ def _bitmap_try(islands, scale: float, pad_cells: int, grid: int):
             return None
         ys, xs = np.nonzero(free)
         j = np.lexsort((xs, ys))[0]
-        return int(ys[j]), int(xs[j]), bmp
+        return int(ys[j]), int(xs[j]), mask
 
     for i in order:
         _, uv2, w, h = islands[i]
@@ -340,9 +345,9 @@ def _bitmap_try(islands, scale: float, pad_cells: int, grid: int):
                 best = (got, cand)
         if best is None:
             return None
-        (y, x, bmp), (uv2c, _, _) = best
-        occ[y:y + bmp.shape[0], x:x + bmp.shape[1]] += bmp
-        out[i] = (uv2c, (x + k) / grid, (y + k) / grid)
+        (y, x, mask), (uv2c, _, _) = best
+        occ[y + g:y + g + mask.shape[0], x + g:x + g + mask.shape[1]] += mask
+        out[i] = (uv2c, (x + g) / grid, (y + g) / grid)
     return out
 
 

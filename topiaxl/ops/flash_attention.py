@@ -366,6 +366,97 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, kt_ref, v_ref, do_ref, lse_ref,
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(q_ref, qt_ref, k_ref, kt_ref, v_ref, do_ref,
+                            dot_ref, lse_ref, delta_ref,
+                            dq_ref, dk_ref, dv_ref, *,
+                            scale: float, q_len: int, kv_len: int,
+                            block_q: int):
+    """Single-pass backward: dq + dk + dv in ONE kernel (one program per
+    (batch, head), single KV block resident in VMEM).
+
+    The two-pass FlashAttention-2 form computes the logits and dp
+    matmuls TWICE (once in the dq pass, once in the dkv pass) — and at
+    head_dim 72 those are exactly the matmuls that pay the 128-lane MXU
+    contraction tax (see module docstring). When the whole KV block fits
+    VMEM (the flagship shapes: self 2048, cross 1376), a single sweep
+    over q chunks computes lg/dp once and feeds all three gradients:
+    5 matmuls instead of 7, with the two eliminated ones the taxed kind
+    (~35% of backward MXU work), plus one HBM read of q/k/v/do instead
+    of two. Chunks are software-pipelined like the two-pass kernels:
+    chunk i+1's lg/dp (MXU) issue before chunk i's softmax recompute
+    (VPU) + the three gradient matmuls."""
+    k = k_ref[0]                                        # [SKp, D]
+    kt = kt_ref[0]                                      # [D, SKp]
+    v = v_ref[0]
+    skp = k.shape[0]
+    d = qt_ref.shape[1]
+    sqp = q_ref.shape[1]
+    nq = sqp // block_q
+    if skp != kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, (skp, 1), 0)
+        kbias = jnp.where(row < kv_len, 0.0, _NEG_INF)
+    else:
+        kbias = None
+
+    def chunk_mm(i):
+        qc = q_ref[0, pl.ds(i * block_q, block_q), :]   # [c, D]
+        dc = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lg = jax.lax.dot_general(
+            k, qc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [SKp, c]
+        dp = jax.lax.dot_general(
+            v, dc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [SKp, c]
+        return lg, dp
+
+    def step(i, cur, dk_acc, dv_acc):
+        lg, dp = cur
+        if kbias is not None:
+            # padded KV rows: p -> 0 so they pollute neither dv nor (via
+            # ds) dk/dq; padded dk/dv columns are sliced off at unfold
+            lg = lg + kbias
+        lse_c = lse_ref[0, :, pl.ds(i * block_q, block_q)]   # [1, c]
+        if sqp != q_len:
+            # padded q/do columns are zero-filled, but exp(0 - lse=0)=1
+            # would pollute dv, so they are masked to exp(-inf)
+            col = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_q), 1)
+            lg = lg + jnp.where(col < q_len, 0.0, _NEG_INF)
+        p = jnp.exp(lg - lse_c)                         # [SKp, c]
+        dot_c = dot_ref[0, :, pl.ds(i * block_q, block_q)]   # [D, c]
+        qt_c = qt_ref[0, :, pl.ds(i * block_q, block_q)]     # [D, c]
+        dv_acc = dv_acc + jax.lax.dot_general(
+            dot_c, p.astype(dot_c.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [D, SKp]
+        ds = (p * (dp - delta_ref[0, :, pl.ds(i * block_q, block_q)])
+              ).astype(qt_c.dtype)                      # [SKp, c]
+        dk_acc = dk_acc + jax.lax.dot_general(
+            qt_c, ds, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [D, SKp]
+        dq_c = jax.lax.dot_general(
+            kt, ds, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [D, c]
+        dq_ref[0, :, pl.ds(i * block_q, block_q)] = (
+            dq_c * scale).astype(dq_ref.dtype)
+        return dk_acc, dv_acc
+
+    dk_acc = jnp.zeros((d, skp), jnp.float32)
+    dv_acc = jnp.zeros((d, skp), jnp.float32)
+    if nq <= 16:
+        cur = chunk_mm(0)
+        for i in range(nq):
+            nxt = chunk_mm(i + 1) if i + 1 < nq else None
+            dk_acc, dv_acc = step(i, cur, dk_acc, dv_acc)
+            cur = nxt
+    else:
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            return step(i, chunk_mm(i), dk_acc, dv_acc)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (dk_acc, dv_acc))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
 def _flash_bwd_dkv_kernel(q_ref, qt_ref, k_ref, v_ref, do_ref, dot_ref,
                           lse_ref, delta_ref, dk_ref, dv_ref, *,
                           q_len: int, block_q: int):
@@ -493,6 +584,68 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     lse = lse.astype(jnp.float32)                       # [BH, 1, sq_p]
 
     BH = B * H
+    if sk_p == block_k and sk_p <= 2048:
+        # single-pass fused backward (one program per batch*head, the
+        # whole KV block in VMEM): computes lg/dp once for dq AND dk/dv.
+        # VMEM at the ceiling shapes (sk_p=sq_p=2048, chunk 256): two
+        # pipelined [2048, 256] f32 lg/dp pairs (8 MB) + 2x[d, 2048] f32
+        # accumulators (1.2 MB) + bf16 operands (~2 MB) — inside the
+        # 16 MB scoped budget; larger KV falls back to the two-pass form
+        # (whose dq pass accumulates across KV blocks in f32).
+        # chunk size picked against a scoped-VMEM budget: the pipelined
+        # kernel holds two (lg, dp) f32 pairs of [sk_p, chunk] plus p/ds
+        # transients (~5.5 * 4 * sk_p * chunk bytes with rounding slop) on
+        # top of ~4.5 MB of operands/accumulators/DMA buffers; chunk 256
+        # at sk_p 2048 measured 16.43 MB against the 16 MB limit, so the
+        # budget drops it to 128 there while cross-attn (sk_p 1376)
+        # keeps 256
+        chunk = dkv_block_q
+        while chunk > 128 and 5.5 * 4 * sk_p * chunk > 11_000_000:
+            chunk //= 2
+        if sq_p % chunk or (chunk % 128 and chunk != sq_p):
+            chunk = sq_p
+        dqt, dkt, dvt = pl.pallas_call(
+            functools.partial(_flash_bwd_fused_kernel, scale=scale,
+                              q_len=Sq, kv_len=Sk, block_q=chunk),
+            out_shape=[
+                jax.ShapeDtypeStruct((BH, d_p, sq_p), q.dtype),
+                jax.ShapeDtypeStruct((BH, d_p, sk_p), k.dtype),
+                jax.ShapeDtypeStruct((BH, d_p, sk_p), v.dtype),
+            ],
+            grid=(BH,),
+            in_specs=[
+                pl.BlockSpec((1, sq_p, d_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_p, sq_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk_p, d_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_p, sk_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk_p, d_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sq_p, d_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_p, sq_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, d_p, sq_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_p, sk_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d_p, sk_p), lambda bh: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            interpret=interpret,
+        )(qp, qtp, kp, ktp, vp, dop, dotp, lse, delta)
+        return (_unfold_t(dqt, B, H, Sq, D), _unfold_t(dkt, B, H, Sk, D),
+                _unfold_t(dvt, B, H, Sk, D))
+
     dqt = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=Sk,
                           block_k=block_k),
