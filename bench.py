@@ -332,6 +332,12 @@ def main():
                     bench_pipelined_assets_per_min(e2e_ctx), 2)
             except Exception as e:
                 result["pipelined_error"] = repr(e)[:200]
+        # the serving context (DiT/VAE params, compiled chains) and the
+        # jit executable cache pin several GB of HBM; the bs-8 train row
+        # needs nearly all 16 GB (its r3 run died RESOURCE_EXHAUSTED when
+        # these stayed alive)
+        e2e_ctx = None
+        jax.clear_caches()
         try:
             import importlib
 

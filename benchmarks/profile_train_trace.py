@@ -22,6 +22,7 @@ def main():
     remat = {"none": False, "full": True, "dots": "dots",
              "flash": "flash", "flash_mlp": "flash_mlp"}[sys.argv[2] if len(sys.argv) > 2 else "none"]
     scan = len(sys.argv) > 3 and sys.argv[3] == "scan"
+    ga = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT
@@ -51,7 +52,8 @@ def main():
         "x": jnp.asarray(rng.standard_normal((B, 2048, 68)).astype("f")),
         "y": jnp.asarray(rng.standard_normal((B, 1370, 768)).astype("f")),
     }
-    step = jit_train_step(make_train_step(model, diffusion, opt),
+    step = jit_train_step(make_train_step(model, diffusion, opt,
+                                      grad_accum=ga),
                           donate=True)
     state, metrics = step(state, batch, key)
     float(metrics["loss"])
@@ -66,7 +68,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from profile_sdf_refine import aggregate
 
-    aggregate(logdir, f"train step B={B} remat={remat} (2 steps)",
+    aggregate(logdir, f"train step B={B} remat={remat} ga={ga} (2 steps)",
               n_top=28)
 
 

@@ -64,9 +64,11 @@ def test_fused_update_matches_optax_chain():
         p_ref = optax.apply_updates(p_ref, updates)
         e_ref = jax.tree.map(lambda e, p: e * 0.9999 + p * 1e-4,
                              e_ref, p_ref)
-        p_fused, st_fused, e_fused = fused_adamw_ema_update(
+        p_fused, st_fused, e_fused, gnorm = fused_adamw_ema_update(
             grads, st_fused, p_fused, e_fused, opt.spec,
             ema_decay=0.9999)
+        np.testing.assert_allclose(float(gnorm), float(
+            optax.global_norm(grads)), rtol=1e-5)
 
         for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
             np.testing.assert_allclose(a, b, atol=2e-6, rtol=2e-5)

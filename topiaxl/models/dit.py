@@ -450,7 +450,10 @@ class DiT(nn.Module):
         if self.scan_blocks:
             x = self.embed_tokens(x)
             t_emb = self.t_embedder(t)
-            x, _ = self.blocks_scan(x, y, t_emb)
+            # cast the conditioning ONCE: inside the scan each block's
+            # cond_kv would re-cast the f32 y -> bf16 per layer (XLA
+            # cannot hoist the cast out of the loop body)
+            x, _ = self.blocks_scan(x, y.astype(self.dtype), t_emb)
             return self.final_layer(x, t_emb)
         kvs = self.precompute_kv(y)
         return self.forward_kv(x, t, kvs)

@@ -367,7 +367,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, kt_ref, v_ref, do_ref, lse_ref,
 
 
 def _flash_bwd_fused_kernel(q_ref, qt_ref, k_ref, kt_ref, v_ref, do_ref,
-                            dot_ref, lse_ref, delta_ref,
+                            dot_ref, ot_ref, lse_ref,
                             dq_ref, dk_ref, dv_ref, *,
                             scale: float, q_len: int, kv_len: int,
                             block_q: int):
@@ -384,7 +384,13 @@ def _flash_bwd_fused_kernel(q_ref, qt_ref, k_ref, kt_ref, v_ref, do_ref,
     (~35% of backward MXU work), plus one HBM read of q/k/v/do instead
     of two. Chunks are software-pipelined like the two-pass kernels:
     chunk i+1's lg/dp (MXU) issue before chunk i's softmax recompute
-    (VPU) + the three gradient matmuls."""
+    (VPU) + the three gradient matmuls.
+
+    delta = rowsum(do * o) is computed per chunk from the transposed
+    do/o operands (a [D, c] multiply + sublane sum on the VPU) instead
+    of a separate XLA pass over the full [B, Sq, H, D] arrays — with
+    ~224 flash backwards per train step the host-side delta pass and
+    its extra fold were ~1% of the step."""
     k = k_ref[0]                                        # [SKp, D]
     kt = kt_ref[0]                                      # [D, SKp]
     v = v_ref[0]
@@ -424,12 +430,15 @@ def _flash_bwd_fused_kernel(q_ref, qt_ref, k_ref, kt_ref, v_ref, do_ref,
             lg = lg + jnp.where(col < q_len, 0.0, _NEG_INF)
         p = jnp.exp(lg - lse_c)                         # [SKp, c]
         dot_c = dot_ref[0, :, pl.ds(i * block_q, block_q)]   # [D, c]
+        ot_c = ot_ref[0, :, pl.ds(i * block_q, block_q)]     # [D, c]
         qt_c = qt_ref[0, :, pl.ds(i * block_q, block_q)]     # [D, c]
+        delta_c = jnp.sum(
+            dot_c.astype(jnp.float32) * ot_c.astype(jnp.float32),
+            axis=0, keepdims=True)                      # [1, c]
         dv_acc = dv_acc + jax.lax.dot_general(
             dot_c, p.astype(dot_c.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [D, SKp]
-        ds = (p * (dp - delta_ref[0, :, pl.ds(i * block_q, block_q)])
-              ).astype(qt_c.dtype)                      # [SKp, c]
+        ds = (p * (dp - delta_c)).astype(qt_c.dtype)    # [SKp, c]
         dk_acc = dk_acc + jax.lax.dot_general(
             qt_c, ds, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [D, SKp]
@@ -575,12 +584,6 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     vp = _fold(v, sk_p, d_p)
     dop = _fold(do, sq_p, d_p)
     dotp = _fold_t(do, sq_p, d_p)
-    op = _fold(out, sq_p, d_p)
-    # delta = rowsum(do * o), stored as a [1, sq] lane vector like lse —
-    # padded dims are zero, so fold-then-sum is exact; tiny elementwise
-    # op, leave it to XLA
-    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
-                    axis=-1)[:, None, :]                # [BH, 1, sq_p]
     lse = lse.astype(jnp.float32)                       # [BH, 1, sq_p]
 
     BH = B * H
@@ -604,6 +607,7 @@ def _flash_backward(q, k, v, out, lse, do, scale,
             chunk //= 2
         if sq_p % chunk or (chunk % 128 and chunk != sq_p):
             chunk = sq_p
+        otp = _fold_t(out, sq_p, d_p)   # delta is computed in-kernel
         dqt, dkt, dvt = pl.pallas_call(
             functools.partial(_flash_bwd_fused_kernel, scale=scale,
                               q_len=Sq, kv_len=Sk, block_q=chunk),
@@ -628,7 +632,7 @@ def _flash_backward(q, k, v, out, lse, do, scale,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d_p, sq_p), lambda bh: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sq_p), lambda bh: (bh, 0, 0),
+                pl.BlockSpec((1, d_p, sq_p), lambda bh: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, sq_p), lambda bh: (bh, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -642,9 +646,17 @@ def _flash_backward(q, k, v, out, lse, do, scale,
                              memory_space=pltpu.VMEM),
             ],
             interpret=interpret,
-        )(qp, qtp, kp, ktp, vp, dop, dotp, lse, delta)
+        )(qp, qtp, kp, ktp, vp, dop, dotp, otp, lse)
         return (_unfold_t(dqt, B, H, Sq, D), _unfold_t(dkt, B, H, Sk, D),
                 _unfold_t(dvt, B, H, Sk, D))
+
+    # delta = rowsum(do * o), stored as a [1, sq] lane vector like lse —
+    # padded dims are zero, so fold-then-sum is exact; tiny elementwise
+    # op, left to XLA (two-pass only: the fused kernel computes it
+    # per chunk from the transposed operands)
+    op = _fold(out, sq_p, d_p)
+    delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
+                    axis=-1)[:, None, :]                # [BH, 1, sq_p]
 
     dqt = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_len=Sk,

@@ -75,7 +75,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
 
 
 def fused_adamw_ema_update(grads, opt_state, params, ema_params, spec,
-                           ema_decay: float = 0.9999):
+                           ema_decay: float = 0.9999,
+                           grad_prescale: float = 1.0):
     """clip-by-global-norm + AdamW + apply + EMA in ONE elementwise pass
     per parameter leaf.
 
@@ -87,7 +88,15 @@ def fused_adamw_ema_update(grads, opt_state, params, ema_params, spec,
     (moments computed in f32 then cast back to the stored dtype —
     equal-or-better numerics than optax's in-dtype bf16 arithmetic);
     ``opt_state`` keeps the optax structure so checkpoints interchange.
-    Parity-tested against the optax path in tests/test_train.py."""
+    Parity-tested against the optax path in tests/test_train.py.
+
+    ``grad_prescale`` folds a constant gradient scale (the 1/k of k-way
+    gradient accumulation) into the same pass, so the train step never
+    materializes the divided tree; the clip threshold applies to the
+    PRE-scaled gradient (prescale * grads), matching the unfused path.
+    Returns (params, opt_state, ema, grad_norm) with grad_norm the
+    global norm of the prescaled gradient — reuse it for metrics
+    instead of a second full-tree reduction."""
     clip_state, (adam, wd_state, sch) = opt_state
     b1, b2, eps = spec["b1"], spec["b2"], spec["eps"]
     wd = spec["weight_decay"]
@@ -98,11 +107,12 @@ def fused_adamw_ema_update(grads, opt_state, params, ema_params, spec,
     c1 = 1.0 - jnp.power(b1, cf)
     c2 = 1.0 - jnp.power(b2, cf)
     lr = spec["sched"](sch.count).astype(jnp.float32)
+    pre = jnp.float32(grad_prescale)
+    gnorm = optax.global_norm(grads).astype(jnp.float32) * pre
     if clip:
-        gnorm = optax.global_norm(grads).astype(jnp.float32)
-        gscale = jnp.where(gnorm < clip, 1.0, clip / gnorm)
+        gscale = pre * jnp.where(gnorm < clip, 1.0, clip / gnorm)
     else:
-        gscale = jnp.float32(1.0)
+        gscale = pre
 
     def leaf(p, g, m, v, e):
         gf = g.astype(jnp.float32) * gscale
@@ -126,7 +136,7 @@ def fused_adamw_ema_update(grads, opt_state, params, ema_params, spec,
     new_opt_state = (clip_state,
                      (type(adam)(count=count_inc, mu=mu, nu=nu),
                       wd_state, type(sch)(count=count_inc)))
-    return new_params, new_opt_state, ema
+    return new_params, new_opt_state, ema, gnorm
 
 
 def create_train_state(params, optimizer,
@@ -219,10 +229,12 @@ def make_train_step(
 
         g0 = jax.tree.map(jnp.zeros_like, params)
         (g_sum, l_sum), terms = jax.lax.scan(body, (g0, 0.0), stacked)
-        grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+        # g_sum is returned UNdivided; the caller folds the 1/k into the
+        # optimizer's elementwise pass (grad_prescale) instead of
+        # materializing a divided copy of the 580M-param tree
         # per-element terms back to [B] order for the LSM sampler
         terms = jax.tree.map(lambda a: a.reshape(B, *a.shape[2:]), terms)
-        return (l_sum / grad_accum, terms), grads
+        return (l_sum / grad_accum, terms), g_sum
 
     def train_step(state: TrainState, batch, key):
         t_key, loss_key = jax.random.split(jax.random.fold_in(key, state.step))
@@ -233,18 +245,25 @@ def make_train_step(
             t, weights = uniform_sample(diffusion.num_timesteps, B, t_key)
 
         if grad_accum > 1:
+            # grads arrive as the UNdivided microbatch sum; the 1/k is
+            # folded into the optimizer pass (or applied below for the
+            # plain-optax fallback)
             (loss, terms), grads = accum_grads(
                 state.params, batch, t, weights, loss_key)
+            prescale = 1.0 / grad_accum
         else:
             (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch["x"], batch["y"], t, weights, loss_key
             )
+            prescale = 1.0
         spec = getattr(optimizer, "spec", None)
         if spec is not None:
-            params, opt_state, ema = fused_adamw_ema_update(
+            params, opt_state, ema, gnorm = fused_adamw_ema_update(
                 grads, state.opt_state, state.params, state.ema_params,
-                spec, ema_decay=ema_decay)
+                spec, ema_decay=ema_decay, grad_prescale=prescale)
         else:
+            if prescale != 1.0:
+                grads = jax.tree.map(lambda g: g * prescale, grads)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
@@ -252,6 +271,7 @@ def make_train_step(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                 state.ema_params, params,
             )
+            gnorm = optax.global_norm(grads)
         sampler_state = state.sampler_state
         if timestep_sampler == "lsm" and sampler_state is not None:
             sampler_state = lsm_update(sampler_state, t, terms["loss_total"])
@@ -259,7 +279,10 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "loss_mse": jnp.mean(terms["loss_mse"]),
-            "grad_norm": optax.global_norm(grads),
+            # the fused update already reduced the (prescaled) global
+            # norm for clipping — a second full-tree reduction here
+            # would re-read the whole gradient
+            "grad_norm": gnorm,
         }
         if "loss_vb" in terms:
             metrics["loss_vb"] = jnp.mean(terms["loss_vb"])
