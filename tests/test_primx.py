@@ -99,9 +99,10 @@ def test_query_cand_idx_matches_default():
 
 
 def test_query_selector_approx_api():
-    """selector='approx' (used by the texture bake) returns the same
-    results on small prim counts where approx_max_k is exhaustive, and
-    unknown selectors are rejected."""
+    """selector='approx' returns the same results on small prim counts
+    where approx_max_k is exhaustive, and unknown selectors are
+    rejected. (The texture bake used to run approx; it now uses exact
+    k=24, which measured both faster and ~26 dB more faithful.)"""
     import pytest
 
     rng = np.random.default_rng(8)
