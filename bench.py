@@ -369,7 +369,9 @@ def main():
 
 def bench_dit_steps_int8() -> float:
     """W8A8 serving path (ops/int8.py): block matmuls on the int8 MXU.
-    Measured +18% over bf16 (25.0 vs 21.2 steps/s on v5e)."""
+    Measured +5% over bf16 (26.8 vs 25.5 steps/s on v5e) — parked as a
+    knob; see docs/KERNELS.md serving roofline for why the ceiling is
+    structural (attention + LN stay bf16, dynamic-quant VPU tax)."""
     import importlib
 
     mod = importlib.import_module("benchmarks.bench_int8_dit")
@@ -478,12 +480,21 @@ def bench_fidelity():
     # geometric stretch (Sander et al. 2001; 1.0 == isometric) for the
     # fast box path vs the quality LSCM path (the xatlas "Better" slot)
     from topiaxl.extract import quality_uv_unwrap
+    from topiaxl.extract.meshproc import _weld_vertices
     from topiaxl.extract.uv_unwrap import (
         box_projection_uv_unwrap, compute_vertex_normal, uv_metrics,
     )
 
-    f64 = faces.astype(np.int64)
-    vn = compute_vertex_normal(verts, f64)
+    # the GLB writer splits vertices at UV seams (per-vertex TEXCOORD),
+    # so the read-back mesh inherits the FIRST unwrap's seams as fake
+    # component boundaries (measured: 178 components / 191 charts on a
+    # genuinely 1-component surface). Weld by position first so the
+    # metric scores the unwrap itself — the same welded connectivity
+    # extract_glb's internal unwrap call sees.
+    verts_w, f64 = _weld_vertices(verts.astype(np.float64),
+                                  faces.astype(np.int64))
+    vn = compute_vertex_normal(verts_w, f64)
+    verts = verts_w
     mb = uv_metrics(verts, f64, *box_projection_uv_unwrap(verts, vn, f64))
     mq = uv_metrics(verts, f64, *quality_uv_unwrap(verts, vn, f64))
     result.update({

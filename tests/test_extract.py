@@ -234,13 +234,10 @@ def test_inpaint_branches_agree():
     mask[5:15, 70:90] = True
 
     outs = {}
-    for name, regions, fill in ip._BRANCHES:
+    for name, fill_band in ip._BRANCHES:
         try:
-            region, search = regions(mask, 6, 3)
-            out = feats.copy()
-            ys, xs = np.nonzero(region)
-            fill(feats, out, ys, xs, search)
-            outs[name] = (out, region)
+            out, _ = fill_band(feats, mask, 6)
+            outs[name] = (out, (out != feats).any(-1))
         except ImportError:
             continue
     assert "native" in outs and "scipy" in outs  # both always available

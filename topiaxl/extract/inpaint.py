@@ -1,20 +1,27 @@
 """Texture-seam inpainting by nearest covered texel.
 
 Replaces the reference's dilation-band + sklearn-KDTree KNN fill
-(inference.py:200-211) with exact Euclidean distance transforms: the
-pad band and the inside search ring come from one EDT each, and the
-fill reads each band texel's nearest ring texel from the EDT's
-nearest-site indices — same result as the KNN fill, no tree walk.
+(inference.py:200-211) with ONE exact Euclidean distance transform:
+the nearest-site EDT of the coverage mask gives, for every texel, both
+its distance to coverage (selecting the pad band) and the index of its
+nearest covered texel (the fill source). The reference restricts its
+KNN search to a thin ring just inside the boundary only to keep the
+KD-tree small; with an EDT the restriction is unnecessary AND the
+result is identical, because the nearest covered texel to any
+uncovered texel is always a mask-boundary texel (the pixel just before
+it on the 8-connected chain toward the query is uncovered, so it lies
+within any ring of radius >= sqrt(2)) — and among ring texels it is by
+definition the nearest.
 
 Three implementations, tried in order, with the chosen branch recorded
-into ``info_out`` (VERDICT r2: the previous silent fallbacks made the
-driver-environment timings unattributable):
+into ``info_out`` (VERDICT r2: silent fallbacks made driver-environment
+timings unattributable):
 
 1. ``native`` — the in-repo C++ exact EDT (native/edt.cpp), built from
    source on first use; deterministic across environments.
-2. ``cv2``    — OpenCV's distanceTransformWithLabels.
-3. ``scipy``  — pure-EDT formulation (NO iterated binary_dilation /
-   erosion, which cost seconds at 1024^2 on 1-core hosts).
+2. ``cv2``    — OpenCV's distanceTransformWithLabels (5x5 chamfer, so
+   band membership/sites can differ on a few boundary texels).
+3. ``scipy``  — ndimage EDT with return_indices.
 """
 
 from __future__ import annotations
@@ -22,74 +29,50 @@ from __future__ import annotations
 import numpy as np
 
 
-def _regions_native(mask: np.ndarray, pad_width: int, search_ring: int):
+def _band_native(feats, mask, pad_width):
     from ..native import edt_index
 
-    d2_out, _ = edt_index(mask)
-    inpaint_region = (d2_out <= pad_width * pad_width) & ~mask
-    d2_in, _ = edt_index(~mask)
-    search_region = mask & (d2_in <= search_ring * search_ring)
-    return inpaint_region, search_region
-
-
-def _fill_native(feats, out, ys, xs, search_region):
-    from ..native import edt_index
-
-    _, idx = edt_index(search_region)
+    d2, idx = edt_index(mask)
+    band = (d2 <= pad_width * pad_width) & ~mask
+    ys, xs = np.nonzero(band)
+    out = feats.copy()
     src = idx[ys, xs]
     W = feats.shape[1]
     out[ys, xs] = feats[src // W, src % W]
+    return out, len(ys)
 
 
-def _regions_cv2(mask: np.ndarray, pad_width: int, search_ring: int):
+def _band_cv2(feats, mask, pad_width):
     import cv2
 
-    d_out = cv2.distanceTransform(
-        np.where(mask, 0, 255).astype(np.uint8), cv2.DIST_L2, 5)
-    inpaint_region = (d_out <= pad_width) & ~mask
-    d_in = cv2.distanceTransform(
-        np.where(mask, 255, 0).astype(np.uint8), cv2.DIST_L2, 5)
-    search_region = mask & (d_in <= search_ring)
-    return inpaint_region, search_region
-
-
-def _fill_cv2(feats, out, ys, xs, search_region):
-    import cv2
-
-    src = np.where(search_region, 0, 255).astype(np.uint8)
-    _, labels = cv2.distanceTransformWithLabels(
+    src = np.where(mask, 0, 255).astype(np.uint8)
+    d, labels = cv2.distanceTransformWithLabels(
         src, cv2.DIST_L2, 5, labelType=cv2.DIST_LABEL_PIXEL)
-    zy, zx = np.nonzero(search_region)  # raster order == label order
+    band = (d <= pad_width) & ~mask
+    ys, xs = np.nonzero(band)
+    zy, zx = np.nonzero(mask)  # raster order == label order
     li = labels[ys, xs] - 1
+    out = feats.copy()
     out[ys, xs] = feats[zy[li], zx[li]]
+    return out, len(ys)
 
 
-def _regions_scipy(mask: np.ndarray, pad_width: int, search_ring: int):
+def _band_scipy(feats, mask, pad_width):
     from scipy import ndimage
 
-    # pure EDT band/ring — NOT iterations=pad_width dilations (which
-    # measured ~2 s/asset at 1024^2); the L2 band differs from the
-    # iterated 4/8-connected band only at corner pixels, all of which
-    # still read their nearest covered texel
-    d_out = ndimage.distance_transform_edt(~mask)
-    inpaint_region = (d_out <= pad_width) & ~mask
-    d_in = ndimage.distance_transform_edt(mask)
-    search_region = mask & (d_in <= search_ring)
-    return inpaint_region, search_region
-
-
-def _fill_scipy(feats, out, ys, xs, search_region):
-    from scipy import ndimage
-
-    _, (ind_y, ind_x) = ndimage.distance_transform_edt(
-        ~search_region, return_indices=True)
-    out[ys, xs] = feats[ind_y[ys, xs], ind_x[ys, xs]]
+    d, (iy, ix) = ndimage.distance_transform_edt(
+        ~mask, return_indices=True)
+    band = (d <= pad_width) & ~mask
+    ys, xs = np.nonzero(band)
+    out = feats.copy()
+    out[ys, xs] = feats[iy[ys, xs], ix[ys, xs]]
+    return out, len(ys)
 
 
 _BRANCHES = (
-    ("native", _regions_native, _fill_native),
-    ("cv2", _regions_cv2, _fill_cv2),
-    ("scipy", _regions_scipy, _fill_scipy),
+    ("native", _band_native),
+    ("cv2", _band_cv2),
+    ("scipy", _band_scipy),
 )
 
 
@@ -97,12 +80,10 @@ def nearest_inpaint(
     feats: np.ndarray,   # [H, W, C]
     mask: np.ndarray,    # [H, W] bool coverage
     pad_width: int = 32,
-    search_ring: int = 3,
     info_out: dict | None = None,
 ) -> np.ndarray:
     """Fill a ``pad_width``-pixel band around the coverage mask with the
-    value of the nearest covered texel (taken from a thin ring just
-    inside the boundary, like the reference's eroded search region).
+    value of each band texel's nearest covered texel.
 
     Pass ``info_out={}`` to receive ``{"branch": name, "pixels": n}``
     describing which implementation actually ran.
@@ -110,18 +91,12 @@ def nearest_inpaint(
     if not mask.any():
         return feats
     last_err: Exception | None = None
-    for name, regions, fill in _BRANCHES:
+    for name, fill_band in _BRANCHES:
         try:
-            inpaint_region, search_region = regions(
-                mask, pad_width, search_ring)
-            if not search_region.any():
-                search_region = mask
-            out = feats.copy()
-            ys, xs = np.nonzero(inpaint_region)
-            fill(feats, out, ys, xs, search_region)
+            out, npix = fill_band(feats, mask, pad_width)
             if info_out is not None:
                 info_out["branch"] = name
-                info_out["pixels"] = int(len(ys))
+                info_out["pixels"] = npix
             return out
         except Exception as e:  # noqa: BLE001 — try the next impl
             last_err = e
