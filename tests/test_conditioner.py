@@ -68,11 +68,27 @@ def test_wrapper_end_to_end_small_image():
 
 
 def test_text_conditioner_stub():
-    t = TextConditioner(dim=16)
+    t = TextConditioner(dim=16, stub=True)
     out = t(["a chair", "a lamp"])
     assert out.shape == (2, 1, 16)
     # deterministic per text
     np.testing.assert_array_equal(out[0], t(["a chair"])[0])
+
+
+def test_text_conditioner_requires_explicit_stub():
+    # VERDICT r3 #8: no encoder and no `stub: true` must raise — a config
+    # claiming CLIP text conditioning can't silently run on hash embeddings.
+    import pytest
+
+    with pytest.raises(ValueError, match="stub"):
+        TextConditioner(dim=16)
+    from topiaxl.registry import build
+
+    with pytest.raises(ValueError, match="stub"):
+        build({"class_name": "topiaxl.TextConditioner", "dim": 16})
+    t = build({"class_name": "topiaxl.TextConditioner", "dim": 16,
+               "stub": True})
+    assert t(["x"]).shape == (1, 1, 16)
 
 
 def _tiny_wrapper():

@@ -63,9 +63,21 @@ class CLIPTextEncoder:
 
 
 class TextConditioner:
-    def __init__(self, encoder=None, dim: int = 768):
+    """Reference text.py:8-38 contract. A real CLIP encoder is required
+    unless the config opts into the deterministic hash-embedding stub
+    with ``stub: true`` — a silent fallback would let a config that
+    *claims* CLIP text conditioning run on garbage embeddings."""
+
+    def __init__(self, encoder=None, dim: int = 768, stub: bool = False):
         self.dim = dim
         self._encoder = encoder
+        self._stub = bool(stub)
+        if encoder is None and not self._stub:
+            raise ValueError(
+                "TextConditioner has no encoder: pass encoder= (a "
+                "CLIPTextEncoder with local weights) or opt into the "
+                "hash-embedding stub explicitly with stub=True "
+                "(`stub: true` in config)")
 
     def _stub_embed(self, texts):
         out = []

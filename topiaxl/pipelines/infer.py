@@ -159,19 +159,27 @@ def generate_primx_sharded(
     dit, vae, diffusion, dit_params, vae_params,
     y: jnp.ndarray, key: jax.Array, latent_mean, latent_std,
     mesh, latent_nf: float = 1.0, cfg_scale: float = 6.0,
-    prim_shape: int = 8, dim_feat: int = 6,
+    prim_shape: int = 8, dim_feat: int = 6, param_rules=None,
 ):
     """Batch inference over a device mesh: the asset batch shards along
-    the ``dp`` axis (params replicated), so assets/min scales with chip
-    count — the multi-chip serving story the reference lacks entirely
-    (SURVEY.md §2.6). Per-asset GLB extraction then proceeds per shard.
+    the ``dp`` axis, so assets/min scales with chip count — the
+    multi-chip serving story the reference lacks entirely (SURVEY.md
+    §2.6). DiT params are replicated by default, or tensor-parallel
+    sharded when ``param_rules`` (e.g. ``dit_param_rules()``) is given —
+    tp serving cuts per-chip weight memory and rides ICI for the
+    all-reduces. Per-asset GLB extraction then proceeds per shard.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dp = "dp" if "dp" in mesh.shape else mesh.axis_names[0]
     y = jax.device_put(y, NamedSharding(mesh, P(dp)))
     repl = NamedSharding(mesh, P())
-    dit_params = jax.device_put(dit_params, repl)
+    if param_rules is not None:
+        from topiaxl.parallel import shard_params
+
+        dit_params = shard_params(dit_params, mesh, param_rules)
+    else:
+        dit_params = jax.device_put(dit_params, repl)
     vae_params = jax.device_put(vae_params, repl)
     with mesh:
         return generate_primx(

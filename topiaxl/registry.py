@@ -126,7 +126,14 @@ def make_dummy_conditioner(**kw):
 
 @register("topiaxl.TextConditioner", "models.conditioner.text.TextConditioner")
 def make_text_conditioner(**kw):
-    return TextConditioner(dim=kw.get("dim", 768))
+    from .models.conditioner.text import CLIPTextEncoder
+
+    encoder = None
+    if kw.get("model_name_or_path"):
+        encoder = CLIPTextEncoder(
+            model_name_or_path=kw["model_name_or_path"])
+    return TextConditioner(encoder=encoder, dim=kw.get("dim", 768),
+                           stub=bool(kw.get("stub", False)))
 
 
 @register("topiaxl.CLIPImageEncoder",
