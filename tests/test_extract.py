@@ -463,21 +463,25 @@ def test_uv_metrics_lscm_beats_box(sphere_mesh):
     assert abs(mi["coverage"] - 1.0) < 1e-6
     assert mi["charts"] == 1 and mi["flipped"] == 0.0
 
-    # both unwraps are valid
+    # both unwraps are valid and near-isometric: the 18-direction box
+    # projection (r4) bounds per-face tilt at 35.3 deg and the LSCM
+    # tiles are conformal, so BOTH paths must stay under the r3 targets
+    # (VERDICT r3 item 3: box L-inf <= 1.35) — the old strict
+    # lscm-beats-box stretch ordering no longer holds because the box
+    # path became near-isometric too
     for m in (mb, mq):
         assert m["flipped"] <= 0.02, m
         assert m["stretch_l2"] >= 1.0 - 1e-9, m
+        assert m["stretch_l2"] <= 1.01, m
+        assert m["stretch_linf"] <= 1.35, m
         assert 0.1 < m["coverage"] <= 1.0, m
-    # conformal charts distort less than axis projections on a sphere
-    assert mq["stretch_l2"] < mb["stretch_l2"], (mq, mb)
-    assert mq["stretch_linf"] < mb["stretch_linf"], (mq, mb)
 
-    # xatlas-grade atlas quality gates (VERDICT r2 item 5): BFS chart
-    # growth + sliver merging + bitmap packing must hold coverage and
-    # chart-count on a curved surface while keeping stretch near-isometric
-    assert mq["coverage"] >= 0.5, mq
-    assert mq["charts"] <= 60, mq
-    assert mq["stretch_l2"] <= 1.01, mq
+    # xatlas-grade atlas quality gates (VERDICT r2 item 5 / r3 item 3):
+    # the quality path's edge is PACKING — grid-cut near-square tiles
+    # must out-pack the box path's organic islands on a curved surface
+    assert mq["coverage"] > mb["coverage"], (mq, mb)
+    assert mq["coverage"] >= 0.6, mq
+    assert mq["charts"] <= 80, mq
 
 
 def test_glb_normals_attribute(tmp_path, sphere_mesh):
