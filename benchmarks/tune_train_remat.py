@@ -16,7 +16,7 @@ import numpy as np
 
 
 def run(remat, batch=2, steps=5, label="", scan_blocks=False,
-        grad_accum=1):
+        grad_accum=1, scan_unroll=1):
     from topiaxl.diffusion import create_diffusion
     from topiaxl.models import DiT
     from topiaxl.pipelines.train import (
@@ -26,7 +26,8 @@ def run(remat, batch=2, steps=5, label="", scan_blocks=False,
     model = DiT(seq_length=2048, in_channels=68, condition_channels=768,
                 hidden_size=1152, depth=28, num_heads=16,
                 cond_drop_prob=0.1, attn_proj_bias=True,
-                dtype=jnp.bfloat16, remat=remat, scan_blocks=scan_blocks)
+                dtype=jnp.bfloat16, remat=remat, scan_blocks=scan_blocks,
+                scan_unroll=scan_unroll)
     diffusion = create_diffusion(
         timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
         parameterization="v", diffusion_steps=1000)

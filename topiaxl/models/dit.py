@@ -91,11 +91,18 @@ class DiTBlock(nn.Module):
         (s_mca, sc_mca, g_mca, s_msa, sc_msa, g_msa,
          s_mlp, sc_mlp, g_mlp) = jnp.split(mods, 9, axis=-1)
 
+        from jax.ad_checkpoint import checkpoint_name
+
         # LN+modulate fused into one HBM pass (ops/fused_ln.py); at the
         # two inner sublayer boundaries the residual gate-add fuses into
         # the next LN too (ln_modulate_residual), so the stream is read
-        # and written once per boundary instead of twice
+        # and written once per boundary instead of twice. The 'ln_h' /
+        # 'resid' checkpoint names feed the 'dots_plus' remat policy:
+        # saving the three modulated streams and two residual carries
+        # (~47 MB/block at micro-batch 2) spares the backward their
+        # whole elementwise recompute chain.
         h = ln_modulate(x, s_mca, sc_mca, out_dtype=self.dtype)
+        h = checkpoint_name(h, "ln_h")
         if null_out is None:
             att = self.crossattn.attend(h, *kv)
         else:
@@ -113,8 +120,12 @@ class DiTBlock(nn.Module):
         x, h = ln_modulate_residual(
             x, att, g_mca, s_msa, sc_msa,
             out_dtype=self.dtype)
+        x = checkpoint_name(x, "resid")
+        h = checkpoint_name(h, "ln_h")
         x, h = ln_modulate_residual(
             x, self.attn(h), g_msa, s_mlp, sc_mlp, out_dtype=self.dtype)
+        x = checkpoint_name(x, "resid")
+        h = checkpoint_name(h, "ln_h")
         x = x + g_mlp[:, None, :] * self.mlp(h)
         return x
 
@@ -203,6 +214,32 @@ class _BlockScanBody(nn.Module):
         return x, None
 
 
+def _remat_policy(remat):
+    """Map a remat mode string to its jax.checkpoint policy.
+
+    'dots_plus' extends 'dots' with the named elementwise landmarks
+    ('ln_h' modulated streams, 'resid' residual carries): the backward
+    then recomputes almost nothing — it trades ~47 MB/block at
+    micro-batch 2 for skipping the LN/modulate recompute chain that
+    dominated the r3 step's 165 ms elementwise bucket."""
+    P = jax.checkpoint_policies
+    names = {
+        "dots": ("flash_out", "flash_lse"),
+        "dots_plus": ("flash_out", "flash_lse", "ln_h", "resid"),
+        "flash": ("flash_out", "flash_lse"),
+        "flash_mlp": ("flash_out", "flash_lse", "mlp_fc1"),
+    }
+    if remat not in names:
+        raise ValueError(
+            f"remat={remat!r}: expected False, True, 'dots', 'dots_plus', "
+            "'flash', or 'flash_mlp'")
+    policy = P.save_only_these_names(*names[remat])
+    if remat.startswith("dots"):
+        policy = P.save_from_both_policies(
+            P.dots_with_no_batch_dims_saveable, policy)
+    return policy
+
+
 class DiT(nn.Module):
     """Flagship generator (reference models/dit_crossattn.py:111-213)."""
 
@@ -225,6 +262,8 @@ class DiT(nn.Module):
     #   "dots"  — save matmul outputs, recompute only elementwise ops
     #             (checkpoint_policies.dots_with_no_batch_dims_saveable):
     #             near remat=False speed at a fraction of the memory
+    #   "dots_plus" — 'dots' + the named ln_h/resid streams: backward
+    #             recomputes almost nothing, +~47 MB/block at micro B=2
     #   "flash" — save ONLY the flash kernel's out/lse (~75 MB/block at
     #             bs 8): the backward re-runs the cheap elementwise ops
     #             and matmuls but never the attention forward — the
@@ -239,6 +278,10 @@ class DiT(nn.Module):
     # (__call__) only — forward_kv/precompute_kv require the unrolled
     # layout.
     scan_blocks: bool = False
+    # lax.scan unroll factor for the block scan: >1 lets XLA fuse and
+    # schedule across adjacent block boundaries (fewer carry
+    # slice/update round-trips) at k-fold larger HLO
+    scan_unroll: int = 1
     # int8 (W8A8) serving path: per-step block matmuls run on the int8
     # MXU (2x the bf16 rate on v5e). Params are the quantized form —
     # produce them from float weights with quantize_dit_params.
@@ -257,31 +300,9 @@ class DiT(nn.Module):
         self.t_embedder = TimestepEmbedder(self.hidden_size)
         if self.scan_blocks:
             body = _BlockScanBody
-            if self.remat == "dots":
-                body = nn.remat(
-                    body, static_argnums=(),
-                    policy=jax.checkpoint_policies.save_from_both_policies(
-                        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                        jax.checkpoint_policies.save_only_these_names(
-                            "flash_out", "flash_lse"),
-                    ),
-                )
-            elif self.remat == "flash":
-                body = nn.remat(
-                    body, static_argnums=(),
-                    policy=jax.checkpoint_policies.save_only_these_names(
-                        "flash_out", "flash_lse"),
-                )
-            elif self.remat == "flash_mlp":
-                body = nn.remat(
-                    body, static_argnums=(),
-                    policy=jax.checkpoint_policies.save_only_these_names(
-                        "flash_out", "flash_lse", "mlp_fc1"),
-                )
-            elif isinstance(self.remat, str):
-                raise ValueError(
-                    f"remat={self.remat!r}: expected False, True, 'dots', "
-                    "'flash', or 'flash_mlp'")
+            if isinstance(self.remat, str):
+                body = nn.remat(body, static_argnums=(),
+                                policy=_remat_policy(self.remat))
             elif self.remat:
                 body = nn.remat(body, static_argnums=())
             self.blocks_scan = nn.scan(
@@ -290,6 +311,7 @@ class DiT(nn.Module):
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=self.depth,
+                unroll=self.scan_unroll,
             )(
                 hidden_size=self.hidden_size,
                 cond_dim=self.condition_channels,
@@ -312,39 +334,11 @@ class DiT(nn.Module):
             )
             return
         block = DiTBlock
-        if self.remat == "dots":
-            # matmul outputs AND the flash kernel's saved out/lse
-            # (named in ops/flash_attention._fwd) are kept; only
-            # elementwise ops recompute in the backward
-            block = nn.remat(
-                DiTBlock, static_argnums=(),
-                policy=jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names(
-                        "flash_out", "flash_lse"),
-                ),
-            )
-        elif self.remat == "flash":
-            block = nn.remat(
-                DiTBlock, static_argnums=(),
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "flash_out", "flash_lse"),
-            )
-        elif self.remat == "flash_mlp":
-            # flash residuals + the fc1 pre-activation: the backward
-            # recomputes neither the attention forward nor the widest
-            # (hidden -> 4*hidden) matmul, for +[*, 4h] bf16 per block
-            block = nn.remat(
-                DiTBlock, static_argnums=(),
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "flash_out", "flash_lse", "mlp_fc1"),
-            )
-        elif isinstance(self.remat, str):
-            # any other string would silently fall through to full-block
-            # remat below — reject it instead
-            raise ValueError(
-                f"remat={self.remat!r}: expected False, True, 'dots', "
-                "'flash', or 'flash_mlp'")
+        if isinstance(self.remat, str):
+            # matmul outputs, the flash kernel's saved out/lse, and any
+            # mode-specific named landmarks are kept (see _remat_policy)
+            block = nn.remat(DiTBlock, static_argnums=(),
+                             policy=_remat_policy(self.remat))
         elif self.remat:
             block = nn.remat(DiTBlock, static_argnums=())
         self.blocks = [
