@@ -317,3 +317,113 @@ def test_full_chain_matches_reference_fixture(fx):
                                atol=5e-4, err_msg="texture diverges")
     np.testing.assert_allclose(np.asarray(got["mat"]), fx["out.mat"],
                                atol=5e-4, err_msg="material diverges")
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 conditioner vs the reference's vendored ViT (VERDICT r3 missing #1)
+# ---------------------------------------------------------------------------
+
+def _randomize_vit(model, seed: int = 0):
+    """Non-degenerate random weights: N(0, 0.02) everywhere except
+    norm/LayerScale gains at 1 + N(0, 0.02) — all-0.02 LN gains would
+    shrink the stream ~50x per block and make 12-block parity vacuous
+    (everything denormal)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            r = torch.randn(p.shape, generator=g) * 0.02
+            if name.endswith(".gamma") or (
+                    "norm" in name and name.endswith(".weight")):
+                p.copy_(1.0 + r)
+            else:
+                p.copy_(r)
+
+
+@pytest.fixture(scope="module")
+def vendored_vit(ref):
+    """The reference's OWN DinoVisionTransformer (vit_base/14, 4 register
+    tokens, 518^2 — hub/backbones.py:18-68 kwargs, pretrained=False),
+    randomized, plus its state_dict converted to flax."""
+    import torch
+
+    from models.conditioner.dinov2.models import (  # noqa: E402
+        vision_transformer as vits,
+    )
+
+    model = vits.vit_base(
+        img_size=518, patch_size=14, init_values=1.0, ffn_layer="mlp",
+        block_chunks=0, num_register_tokens=4,
+        interpolate_antialias=False, interpolate_offset=0.1)
+    model.eval()
+    _randomize_vit(model)
+    sd = {k: v for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert.convert_dinov2(sd, depth=12))
+    return model, params
+
+
+@pytest.mark.slow
+def test_dinov2_tokens_match_vendored_reference(vendored_vit):
+    """Token-level parity of the flax DinoViT against the reference's
+    vendored DinoVisionTransformer.forward_features
+    (models/conditioner/dinov2/models/vision_transformer.py:259-281) at
+    the flagship 518^2 (no pos-embed interpolation: 37^2 == 1369
+    patches) AND at 224^2, which exercises the bicubic pos-embed
+    interpolation with the reference's scale_factor=(grid+0.1)/sqrt(N),
+    antialias=False semantics (vision_transformer.py:187-215)."""
+    import torch
+
+    from topiaxl.models.conditioner.dinov2 import DinoViT, dinov2_config
+
+    model, params = vendored_vit
+    vit = DinoViT(dtype=jnp.float32, **dinov2_config("dinov2_vitb14_reg"))
+
+    rng = np.random.default_rng(0)
+    for size, atol in ((518, 2e-4), (224, 2e-4)):
+        img = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+        with torch.no_grad():
+            out_t = model.forward_features(
+                torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        out_j = vit.apply(params, jnp.asarray(img))
+        for key in ("x_norm_clstoken", "x_norm_regtokens",
+                    "x_norm_patchtokens"):
+            a = np.asarray(out_j[key], np.float32)
+            b = out_t[key].numpy()
+            np.testing.assert_allclose(
+                a, b, atol=atol, rtol=1e-3,
+                err_msg=f"{key} diverges at {size}^2")
+
+
+@pytest.mark.slow
+def test_dinov2_wrapper_matches_reference_chain(vendored_vit):
+    """Full conditioner parity for the flagship path: the repo's
+    DinoV2Wrapper (uint8 image -> /255 -> resize -> CLIP-normalize ->
+    ViT -> cat(cls, patches), image_dinov2.py:44-61) against the same
+    chain run through the reference's vendored ViT. At 518^2 input the
+    torchvision Resize is the identity (scale 1), so the comparison
+    isolates the normalize + ViT + token-cat contract exactly."""
+    import torch
+
+    from topiaxl.models.conditioner.image import DinoV2Wrapper
+
+    model, params = vendored_vit
+    wrapper = DinoV2Wrapper(model_name="dinov2_vitb14_reg", image_size=518,
+                            params=params, dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (1, 518, 518, 3)).astype(np.float32)
+    tokens_j = np.asarray(wrapper(jnp.asarray(img)), np.float32)
+
+    mean = torch.tensor([0.48145466, 0.4578275, 0.40821073])
+    std = torch.tensor([0.26862954, 0.26130258, 0.27577711])
+    x = torch.from_numpy(img.transpose(0, 3, 1, 2)) / 255.0
+    x = (x - mean[None, :, None, None]) / std[None, :, None, None]
+    with torch.no_grad():
+        out_t = model.forward_features(x)
+    tokens_t = torch.cat(
+        [out_t["x_norm_clstoken"].unsqueeze(1),
+         out_t["x_norm_patchtokens"]], dim=1).numpy()
+
+    assert tokens_j.shape == (1, 1370, 768)
+    np.testing.assert_allclose(tokens_j, tokens_t, atol=3e-4, rtol=1e-3)

@@ -20,9 +20,44 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ...ops.attention import multi_head_attention
 
 Dtype = Any
+
+
+def _torch_bicubic_matrix(in_size: int, out_size: int,
+                          scale_factor: float) -> np.ndarray:
+    """[out, in] sampling matrix replicating torch
+    ``F.interpolate(mode='bicubic', align_corners=False, antialias=False,
+    scale_factor=...)``: src = (dst + 0.5) / scale_factor - 0.5, 4-tap
+    cubic kernel a = -0.75, indices clamped at the borders. The
+    reference interpolates its DINOv2 pos-embed this way with
+    scale_factor = (grid + 0.1) / sqrt(N)
+    (vision_transformer.py:187-215, interpolate_offset=0.1), so parity
+    of off-518 inputs hinges on these exact semantics — jax.image.resize
+    uses out/in scaling and antialiasing instead."""
+    a = -0.75
+
+    def cub(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+        if x < 2.0:
+            return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+        return 0.0
+
+    M = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        x = (i + 0.5) / scale_factor - 0.5
+        base = int(np.floor(x))
+        t = x - base
+        for k in range(-1, 3):
+            w = cub(k - t)
+            j = min(max(base + k, 0), in_size - 1)
+            M[i, j] += w
+    return M.astype(np.float32)
 
 _CONFIGS = {
     # name -> (embed_dim, depth, num_heads, patch, num_register_tokens)
@@ -96,6 +131,9 @@ class DinoViT(nn.Module):
     num_register_tokens: int = 4
     mlp_ratio: float = 4.0
     pos_embed_size: int = 37  # grid side the pretrained pos_embed was saved at
+    # reference vision_transformer.py:201 "small number to avoid
+    # floating point error" folded into the interpolation scale
+    interpolate_offset: float = 0.1
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -118,10 +156,17 @@ class DinoViT(nn.Module):
         )
         pos_patch = pos[:, 1:]
         if gh != self.pos_embed_size or gw != self.pos_embed_size:
-            grid = pos_patch.reshape(
-                1, self.pos_embed_size, self.pos_embed_size, self.embed_dim)
-            grid = jax.image.resize(
-                grid, (1, gh, gw, self.embed_dim), method="bicubic")
+            # exact reference semantics (vision_transformer.py:187-215):
+            # torch bicubic with scale_factor=(grid+0.1)/sqrt(N), no
+            # antialias; separable [out,in] matrices applied per axis
+            S = self.pos_embed_size
+            Mh = jnp.asarray(_torch_bicubic_matrix(
+                S, gh, (gh + self.interpolate_offset) / S))
+            Mw = jnp.asarray(_torch_bicubic_matrix(
+                S, gw, (gw + self.interpolate_offset) / S))
+            grid = pos_patch.reshape(1, S, S, self.embed_dim)
+            grid = jnp.einsum("hs,bswd->bhwd", Mh,
+                              jnp.einsum("wt,bhtd->bhwd", Mw, grid))
             pos_patch = grid.reshape(1, gh * gw, self.embed_dim)
 
         x = x + pos_patch
