@@ -222,6 +222,18 @@ def bench_e2e_seconds():
     runs = [one_asset(f"warm{i}", seed=2 + i) for i in range(3)]
     rows = sorted(runs, key=lambda r: r["total"])[1]
     rows["e2e_runs_s"] = [r["total"] for r in runs]
+    # per-run stage attribution so any outlier run names its cause
+    # (r3's unexplained 6.43 s third run; suspect = host steal hitting
+    # a specific stage) without re-running the bench
+    rows["e2e_runs_stages_s"] = [
+        {"matting": r["matting_s"], "encode": r["encode_s"],
+         "stage1": r["stage1_denoise_decode_s"],
+         "stage2": r["stage2_extract_s"],
+         "stage2_host": round(sum(
+             v for k, v in r["stage2_breakdown_s"].items()
+             if k in ("isosurface", "clean_mesh", "decimate", "uv_unwrap",
+                      "rasterize", "inpaint", "write_glb")), 3)}
+        for r in runs]
     ctx = dict(prepare_image=prepare_image, png=png, matter=matter,
                encoder=encoder, P=P, dit=dit, vae=vae,
                diffusion=diffusion, dit_params=dit_params,
@@ -230,16 +242,18 @@ def bench_e2e_seconds():
     return rows, ctx
 
 
-def bench_pipelined_assets_per_min(ctx, n: int = 3) -> float:
+def bench_pipelined_assets_per_min(ctx, n: int = 4) -> float:
     """assets/min with the serve_assets software pipeline (host
     extraction of asset i overlaps device denoise of asset i+1),
     including per-asset matting + encode like the serial chain. Reuses
-    the e2e bench's already-compiled artifacts."""
+    the e2e bench's already-compiled artifacts. Two extraction workers
+    (matching serve_assets' default): asset i's host mesh stages run
+    while asset i+1's stage-2 device dispatches wait in the queue."""
     from concurrent.futures import ThreadPoolExecutor
 
     P = ctx["P"]
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futs = []
         for i in range(n):
             image = ctx["prepare_image"](ctx["png"], matting="u2net",
@@ -291,6 +305,43 @@ def _require_tpu(timeout_s: float = 900.0) -> None:
     os._exit(0)
 
 
+def _read_slow_suite() -> dict:
+    """Report the recorded `pytest -m slow` tier outcome (VERDICT r3
+    item 7). The tier is CPU-only and ~15 min, so it runs out-of-band
+    via `python -m benchmarks.run_slow_suite` which persists
+    runs/slow_suite.json; here it is embedded in the bench JSON, marked
+    stale when the source tree moved past the SHA it was produced at."""
+    import subprocess
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "runs", "slow_suite.json")
+    if not os.path.exists(path):
+        return {"slow_suite": "not run"}
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        root = os.path.dirname(os.path.abspath(__file__))
+        out = {"slow_suite": rec.get("status", "unknown"),
+               "slow_suite_passed": rec.get("passed"),
+               "slow_suite_sha": rec.get("sha")}
+        if rec.get("sha"):
+            # stale only if SOURCE changed since the recorded run —
+            # bookkeeping commits (runs/, docs, bench records) don't
+            # invalidate a test-tier result
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", f"{rec['sha']}..HEAD"],
+                cwd=root, capture_output=True, text=True).stdout.split()
+            src = [p for p in diff
+                   if not (p.startswith(("runs/", "docs/"))
+                           or p.endswith((".md", ".json")))]
+            if src:
+                out["slow_suite"] = (f"{out['slow_suite']} "
+                                     f"(stale @{rec['sha']})")
+        return out
+    except Exception as e:
+        return {"slow_suite": f"error: {e!r}"[:120]}
+
+
 def main():
     # Progressive output: the accumulated JSON line is (re)printed after
     # every section, so if the harness kills a long run mid-section the
@@ -299,6 +350,7 @@ def main():
     # remote compiles dominate); sections are ordered headline-first.
     _require_tpu()
     steps_per_sec = bench_dit_steps()
+    slow = _read_slow_suite()
     result = {
         "metric": "dit_denoise_steps_per_sec",
         "value": round(steps_per_sec, 3),
@@ -308,6 +360,7 @@ def main():
         # accounting) against the chip's bf16 peak
         "mfu": round(steps_per_sec * STEP_TFLOPS / PEAK_BF16_TFLOPS, 3),
     }
+    result.update(slow)
     print(json.dumps(result), flush=True)
     if os.environ.get("TOPIAXL_BENCH_FAST") != "1":
         try:

@@ -109,7 +109,9 @@ def main():
         float(p[0].feat.sum())
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    # 2 extraction workers, matching serve_assets' default: asset i's
+    # host mesh stages overlap asset i+1's queued device dispatches
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futs = []
         for start in range(0, args.n, b):
             group = ys[start:start + b]

@@ -229,3 +229,65 @@ def test_flash_fused_backward_matches_two_pass():
             np.testing.assert_allclose(
                 np.asarray(gf), np.asarray(gt), atol=2e-5,
                 err_msg=f"d{name} fused vs two-pass (Sq={Sq},Sk={Sk})")
+
+
+def test_flash_fused_backward_multichunk_paths():
+    """ADVICE r3 #4: the fused backward's software-pipelined chunk loop
+    (nq 2-16 — the path taken at flagship 2048/128) and the nq>16
+    fori_loop body were never exercised by the single-chunk shapes
+    above. Sq=512 @ chunk 128 drives nq=4; Sq=2304 drives nq=18."""
+    import jax
+
+    from topiaxl.ops import flash_attention as fa
+
+    rng = np.random.default_rng(31)
+    for (B, Sq, Sk, H, hd) in [
+        (1, 512, 256, 2, 8),     # nq=4: pipelined python-loop path
+        (1, 2304, 256, 1, 8),    # nq=18: fori_loop path
+    ]:
+        scale = hd**-0.5
+        q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+        out, lse = fa._flash_forward(q, k, v, scale, return_lse=True)
+        # dkv_block_q=128 fixes the fused lg/dp chunk at 128
+        fused = fa._flash_backward(q, k, v, out, lse, g, scale,
+                                   dkv_block_q=128)
+        twop = fa._flash_backward(q, k, v, out, lse, g, scale,
+                                  block_q=128, block_k=128,
+                                  dkv_block_q=128, dkv_block_k=128)
+        for gf, gt, name in zip(fused, twop, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gt), atol=2e-5,
+                err_msg=f"d{name} fused multichunk (Sq={Sq})")
+
+
+def test_flash_fused_backward_gate_fallbacks():
+    """ADVICE r3 #1/#2: shapes that must NOT take the fused single-pass
+    backward still produce correct grads through the two-pass kernels —
+    (a) sq_p a non-multiple of the chunk ladder (1920: falls to the
+    128-divisor), exercised for correctness; (b) long-query shapes
+    beyond the q-side VMEM gate."""
+    import jax
+
+    from topiaxl.ops import flash_attention as fa
+
+    rng = np.random.default_rng(37)
+    # (a) Sq=1920: ladder chunk must drop to a 128-aligned divisor, never
+    # chunk=sq_p (which would put a [sk_p, 1920] f32 pair in VMEM)
+    B, Sq, Sk, H, hd = 1, 1920, 256, 1, 8
+    scale = hd**-0.5
+    q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    out, lse = fa._flash_forward(q, k, v, scale, return_lse=True)
+    got = fa._flash_backward(q, k, v, out, lse, g, scale)
+    ref = fa._flash_backward(q, k, v, out, lse, g, scale,
+                             block_q=128, block_k=128,
+                             dkv_block_q=128, dkv_block_k=128)
+    for gf, gt, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gt),
+                                   atol=2e-5,
+                                   err_msg=f"d{name} Sq=1920 divisor chunk")

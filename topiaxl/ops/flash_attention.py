@@ -587,7 +587,29 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     lse = lse.astype(jnp.float32)                       # [BH, 1, sq_p]
 
     BH = B * H
-    if sk_p == block_k and sk_p <= 2048:
+    # fused-path eligibility (ADVICE r3 #1/#2): beyond the whole-KV
+    # requirement, (a) the q-side operands (q, qt, do, dot, ot + the dq
+    # output, ~12 bytes/element) live whole per program, so long-query
+    # shapes must take the two-pass kernels (which block q at
+    # dq_block_q); (b) the lg/dp chunk must divide sq_p AND fit the
+    # scoped-VMEM budget — when the power-of-two ladder lands on a
+    # non-divisor, fall back to the largest 128-multiple divisor that
+    # fits instead of chunk=sq_p (sq_p=1920/sk_p=2048 would otherwise
+    # put a ~31 MB pipelined pair in VMEM).
+    fused_chunk = None
+    if sk_p == block_k and sk_p <= 2048 and 12 * sq_p * d_p <= 6_000_000:
+        fused_chunk = dkv_block_q
+        while fused_chunk > 128 and 5.5 * 4 * sk_p * fused_chunk > 11_000_000:
+            fused_chunk //= 2
+        if sq_p % fused_chunk or fused_chunk % 128:
+            fused_chunk = next(
+                (c for c in range(min(fused_chunk, sq_p), 127, -128)
+                 if sq_p % c == 0
+                 and 5.5 * 4 * sk_p * c <= 11_000_000), None)
+            if fused_chunk is None and sq_p <= 128 \
+                    and 5.5 * 4 * sk_p * sq_p <= 11_000_000:
+                fused_chunk = sq_p
+    if fused_chunk is not None:
         # single-pass fused backward (one program per batch*head, the
         # whole KV block in VMEM): computes lg/dp once for dq AND dk/dv.
         # VMEM at the ceiling shapes (sk_p=sq_p=2048, chunk 256): two
@@ -601,12 +623,8 @@ def _flash_backward(q, k, v, out, lse, do, scale,
         # top of ~4.5 MB of operands/accumulators/DMA buffers; chunk 256
         # at sk_p 2048 measured 16.43 MB against the 16 MB limit, so the
         # budget drops it to 128 there while cross-attn (sk_p 1376)
-        # keeps 256
-        chunk = dkv_block_q
-        while chunk > 128 and 5.5 * 4 * sk_p * chunk > 11_000_000:
-            chunk //= 2
-        if sq_p % chunk or (chunk % 128 and chunk != sq_p):
-            chunk = sq_p
+        # keeps 256 (selection above, shared with the eligibility gate)
+        chunk = fused_chunk
         otp = _fold_t(out, sq_p, d_p)   # delta is computed in-kernel
         dqt, dkt, dvt = pl.pallas_call(
             functools.partial(_flash_bwd_fused_kernel, scale=scale,
