@@ -447,25 +447,11 @@ def quality_uv_unwrap(
     total3 = 0.5 * np.linalg.norm(fa, axis=1).sum()
     T = float(np.sqrt(total3 / max(tile_target, 1)))
 
+    from .uv_unwrap import grid_cut_island
+
     for fi, uv2, a3 in flat:
-        cent = uv2.mean(1)                                   # [m, 2]
-        cell = np.floor(cent / T).astype(np.int64)
-        cell -= cell.min(0)
-        key = cell[:, 0] * np.int64(1 << 32) + cell[:, 1]
-        ukeys, kinv = np.unique(key, return_inverse=True)
-        for k in range(len(ukeys)):
-            sel = kinv == k
-            suv = uv2[sel]
-            # per-tile texel-density renorm (cancels conformal drift)
-            a = suv[:, 1] - suv[:, 0]
-            b = suv[:, 2] - suv[:, 0]
-            aU = 0.5 * np.abs(a[:, 0] * b[:, 1]
-                              - a[:, 1] * b[:, 0]).sum()
-            suv = suv * np.sqrt(a3[sel].sum() / max(aU, 1e-14))
-            lo = suv.reshape(-1, 2).min(0)
-            suv = (suv - lo).astype(np.float32)
-            size = suv.reshape(-1, 2).max(0)
-            islands.append([fi[sel], suv,
-                            float(size[0]), float(size[1])])
+        # per-tile texel-density renorm inside the cut also cancels the
+        # LSCM's slowly varying conformal scale
+        islands.extend(grid_cut_island(fi, uv2, a3, T))
 
     return pack_islands(islands, len(f), island_padding)
