@@ -3,15 +3,16 @@
 This is the ``fast_unwrap=False`` ("Better") path — the reference uses
 xatlas there (inference.py:152-160; app.py offers "Faster"/"Better").
 xatlas isn't available in this environment, so we implement the same
-recipe class: segment the surface into low-curvature charts by
-normal-cone region growing, flatten each chart with a Least-Squares
-Conformal Map (Levy et al. 2002), rescale each chart to its 3D area
-(uniform texel density), and shelf-pack the charts into one atlas
-(shared packer with the fast box-projection path).
+recipe class, packing-first: segment the surface into a FEW large
+low-curvature charts by normal-cone region growing, flatten each with a
+Least-Squares Conformal Map (Levy et al. 2002), grid-cut every
+flattened chart's UV domain into near-square tiles (each rescaled to
+its 3D area for uniform texel density), and bitmap-pack the tiles into
+one atlas (shared packer with the fast box-projection path).
 
 Charts whose LSCM solution folds (more than a few % flipped triangles —
-e.g. non-disk topology from aggressive growing) fall back to a best-fit
-plane projection, which is always valid for the pack.
+e.g. non-disk topology from aggressive growing) are re-segmented at a
+tighter cone, with best-fit plane projection as the final fallback.
 """
 
 from __future__ import annotations

@@ -2,12 +2,14 @@
 
 Plays the role of the reference's "fast_unwrap" path
 (utils/uv_unwrap.py:644-685) and of xatlas for the default path
-(inference.py:152-160, unavailable here): faces are binned to one of six
-cube directions by normal, split into connected islands per bin, each
-island projected to its plane, and all islands shelf-packed into the
-atlas with padding. Unlike the reference's overlap-detection + extra
-atlas slots (utils/uv_unwrap.py:182-643), islands are packed disjointly
-by construction, so no two faces ever share texels.
+(inference.py:152-160, unavailable here): faces are binned to the
+nearest of 18 directions (6 cube faces + 12 edge diagonals, bounding
+per-face tilt at 35.3 deg), split into connected islands per bin, each
+island projected onto its area-weighted mean-normal plane and
+area-renormalized, and all islands packed by rasterized outline into
+the atlas with padding. Unlike the reference's overlap-detection +
+extra atlas slots (utils/uv_unwrap.py:182-643), islands are packed
+disjointly by construction, so no two faces ever share texels.
 
 Contract matches the reference call site (inference.py:143-147):
 ``uv, indices = box_projection_uv_unwrap(v, vn, f, padding)`` with
