@@ -10,9 +10,45 @@ from topiaxl.models.conditioner.text import TextConditioner
 
 
 def test_dinov2_config_table():
+    # _reg variants carry the hub's antialias=True / offset=0.0 flags
+    # (reference hub/backbones.py:116-134); non-reg keep the defaults
     cfg = dinov2_config("dinov2_vitb14_reg")
     assert cfg == dict(embed_dim=768, depth=12, num_heads=12, patch_size=14,
-                       num_register_tokens=4)
+                       num_register_tokens=4, interpolate_antialias=True,
+                       interpolate_offset=0.0)
+    cfg = dinov2_config("dinov2_vitb14")
+    assert cfg["interpolate_antialias"] is False
+    assert cfg["interpolate_offset"] == 0.1
+
+
+@pytest.mark.parametrize("antialias,offset", [(False, 0.1), (True, 0.0)])
+def test_bicubic_matrix_vs_torch(antialias, offset):
+    """_torch_bicubic_matrix vs torch F.interpolate at several grid sizes,
+    both antialias settings — the exact call the reference's pos-embed
+    interpolation makes (vision_transformer.py:203-211). Guards the r4
+    regression where the flagship vitb14_reg's antialias=True path
+    (hub/backbones.py:132-133) silently diverged at strong downscale."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from topiaxl.models.conditioner.dinov2 import _torch_bicubic_matrix
+
+    S = 37
+    rng = np.random.default_rng(0)
+    grid = rng.standard_normal((1, 8, S, S)).astype(np.float32)
+    t = torch.from_numpy(grid)
+    for g in (8, 16, 37, 64):
+        sf = (g + offset) / S
+        if g == S and offset == 0.0:
+            continue  # scale 1: the reference short-circuits, nothing to test
+        want = F.interpolate(t, scale_factor=(sf, sf), mode="bicubic",
+                             antialias=antialias)
+        assert want.shape[-1] == g
+        M = _torch_bicubic_matrix(S, g, sf, antialias).astype(np.float64)
+        got = np.einsum("hs,dsw->dhw", M, grid[0].astype(np.float64))
+        got = np.einsum("wt,dht->dhw", M, got)
+        np.testing.assert_allclose(got, want.numpy()[0], atol=5e-5)
 
 
 @pytest.mark.slow

@@ -344,8 +344,9 @@ def _randomize_vit(model, seed: int = 0):
 @pytest.fixture(scope="module")
 def vendored_vit(ref):
     """The reference's OWN DinoVisionTransformer (vit_base/14, 4 register
-    tokens, 518^2 — hub/backbones.py:18-68 kwargs, pretrained=False),
-    randomized, plus its state_dict converted to flax."""
+    tokens, 518^2 — the exact dinov2_vitb14_reg kwargs incl.
+    interpolate_antialias=True / offset=0.0, hub/backbones.py:123-135,
+    pretrained=False), randomized, plus its state_dict converted to flax."""
     import torch
 
     from models.conditioner.dinov2.models import (  # noqa: E402
@@ -355,7 +356,7 @@ def vendored_vit(ref):
     model = vits.vit_base(
         img_size=518, patch_size=14, init_values=1.0, ffn_layer="mlp",
         block_chunks=0, num_register_tokens=4,
-        interpolate_antialias=False, interpolate_offset=0.1)
+        interpolate_antialias=True, interpolate_offset=0.0)
     model.eval()
     _randomize_vit(model)
     sd = {k: v for k, v in model.state_dict().items()}
@@ -370,8 +371,9 @@ def test_dinov2_tokens_match_vendored_reference(vendored_vit):
     (models/conditioner/dinov2/models/vision_transformer.py:259-281) at
     the flagship 518^2 (no pos-embed interpolation: 37^2 == 1369
     patches) AND at 224^2, which exercises the bicubic pos-embed
-    interpolation with the reference's scale_factor=(grid+0.1)/sqrt(N),
-    antialias=False semantics (vision_transformer.py:187-215)."""
+    interpolation with the _reg hub variants' scale_factor=grid/sqrt(N),
+    antialias=True semantics (vision_transformer.py:187-215,
+    hub/backbones.py:132-133)."""
     import torch
 
     from topiaxl.models.conditioner.dinov2 import DinoViT, dinov2_config

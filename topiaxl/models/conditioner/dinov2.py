@@ -27,17 +27,54 @@ from ...ops.attention import multi_head_attention
 Dtype = Any
 
 
-def _torch_bicubic_matrix(in_size: int, out_size: int,
-                          scale_factor: float) -> np.ndarray:
+def _torch_bicubic_matrix(in_size: int, out_size: int, scale_factor: float,
+                          antialias: bool = False) -> np.ndarray:
     """[out, in] sampling matrix replicating torch
-    ``F.interpolate(mode='bicubic', align_corners=False, antialias=False,
-    scale_factor=...)``: src = (dst + 0.5) / scale_factor - 0.5, 4-tap
-    cubic kernel a = -0.75, indices clamped at the borders. The
-    reference interpolates its DINOv2 pos-embed this way with
-    scale_factor = (grid + 0.1) / sqrt(N)
-    (vision_transformer.py:187-215, interpolate_offset=0.1), so parity
-    of off-518 inputs hinges on these exact semantics — jax.image.resize
-    uses out/in scaling and antialiasing instead."""
+    ``F.interpolate(mode='bicubic', align_corners=False,
+    scale_factor=...)`` for both antialias settings. The reference
+    interpolates its DINOv2 pos-embed this way with
+    scale_factor = (grid + interpolate_offset) / sqrt(N)
+    (vision_transformer.py:187-215); the flagship vitb14_reg is built
+    with interpolate_antialias=True / offset=0.0 while the non-reg
+    variants default to antialias=False / offset=0.1
+    (hub/backbones.py:27-28, 116-134), so parity of off-518 inputs
+    hinges on these exact semantics — jax.image.resize uses out/in
+    coordinate scaling, which differs when an offset folds into the
+    scale_factor.
+
+    antialias=False: src = (dst + 0.5) / scale_factor - 0.5, 4-tap cubic
+    kernel a = -0.75, taps clamped+accumulated at the borders.
+    antialias=True (ATen UpSampleKernel.cpp separable AA path): PIL-style
+    cubic a = -0.5, kernel stretched by max(1, 1/scale_factor), windowed
+    taps normalized to sum 1 (no border accumulation). Both verified
+    against torch F.interpolate at several sizes in
+    tests/test_conditioner.py::test_bicubic_matrix_vs_torch."""
+    scale = 1.0 / scale_factor
+
+    if antialias:
+        a = -0.5
+
+        def cub(x):
+            x = abs(x)
+            if x < 1.0:
+                return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+            if x < 2.0:
+                return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+            return 0.0
+
+        clamped = max(1.0, scale)
+        support = 2.0 * clamped
+        M = np.zeros((out_size, in_size), np.float64)
+        for i in range(out_size):
+            center = scale * (i + 0.5)
+            lo = max(0, int(center - support + 0.5))
+            hi = min(in_size, int(center + support + 0.5))
+            ws = [cub((j - center + 0.5) / clamped) for j in range(lo, hi)]
+            tw = sum(ws)
+            for j, w in zip(range(lo, hi), ws):
+                M[i, j] = w / tw
+        return M.astype(np.float32)
+
     a = -0.75
 
     def cub(x):
@@ -50,7 +87,7 @@ def _torch_bicubic_matrix(in_size: int, out_size: int,
 
     M = np.zeros((out_size, in_size), np.float64)
     for i in range(out_size):
-        x = (i + 0.5) / scale_factor - 0.5
+        x = (i + 0.5) * scale - 0.5
         base = int(np.floor(x))
         t = x - base
         for k in range(-1, 3):
@@ -60,7 +97,11 @@ def _torch_bicubic_matrix(in_size: int, out_size: int,
     return M.astype(np.float32)
 
 _CONFIGS = {
-    # name -> (embed_dim, depth, num_heads, patch, num_register_tokens)
+    # name -> (embed_dim, depth, num_heads, patch, num_register_tokens).
+    # The hub builds _reg variants with interpolate_antialias=True /
+    # interpolate_offset=0.0 and the non-reg ones with False / 0.1
+    # (reference hub/backbones.py:27-28, 108-150) — derived from the
+    # register-token count below.
     "dinov2_vits14": (384, 12, 6, 14, 0),
     "dinov2_vitb14": (768, 12, 12, 14, 0),
     "dinov2_vitl14": (1024, 24, 16, 14, 0),
@@ -77,7 +118,9 @@ def dinov2_config(name: str) -> dict:
         raise KeyError(f"unknown dinov2 model {name}")
     d, depth, h, p, r = _CONFIGS[name]
     return dict(embed_dim=d, depth=depth, num_heads=h, patch_size=p,
-                num_register_tokens=r)
+                num_register_tokens=r,
+                interpolate_antialias=r > 0,
+                interpolate_offset=0.0 if r > 0 else 0.1)
 
 
 class _Attention(nn.Module):
@@ -132,8 +175,10 @@ class DinoViT(nn.Module):
     mlp_ratio: float = 4.0
     pos_embed_size: int = 37  # grid side the pretrained pos_embed was saved at
     # reference vision_transformer.py:201 "small number to avoid
-    # floating point error" folded into the interpolation scale
+    # floating point error" folded into the interpolation scale; the
+    # hub sets 0.0 + antialias for _reg variants (backbones.py:116-134)
     interpolate_offset: float = 0.1
+    interpolate_antialias: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -157,13 +202,16 @@ class DinoViT(nn.Module):
         pos_patch = pos[:, 1:]
         if gh != self.pos_embed_size or gw != self.pos_embed_size:
             # exact reference semantics (vision_transformer.py:187-215):
-            # torch bicubic with scale_factor=(grid+0.1)/sqrt(N), no
-            # antialias; separable [out,in] matrices applied per axis
+            # torch bicubic with scale_factor=(grid+offset)/sqrt(N),
+            # antialias per hub variant; separable [out,in] matrices
+            # applied per axis
             S = self.pos_embed_size
             Mh = jnp.asarray(_torch_bicubic_matrix(
-                S, gh, (gh + self.interpolate_offset) / S))
+                S, gh, (gh + self.interpolate_offset) / S,
+                self.interpolate_antialias))
             Mw = jnp.asarray(_torch_bicubic_matrix(
-                S, gw, (gw + self.interpolate_offset) / S))
+                S, gw, (gw + self.interpolate_offset) / S,
+                self.interpolate_antialias))
             grid = pos_patch.reshape(1, S, S, self.embed_dim)
             grid = jnp.einsum("hs,bswd->bhwd", Mh,
                               jnp.einsum("wt,bhtd->bhwd", Mw, grid))
