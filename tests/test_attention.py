@@ -291,3 +291,53 @@ def test_flash_fused_backward_gate_fallbacks():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gt),
                                    atol=2e-5,
                                    err_msg=f"d{name} Sq=1920 divisor chunk")
+
+
+def test_fused_chunk_selection_invariants():
+    """ADVICE r4 #1: the fused-backward chunk must always divide sq_p and
+    be 128-lane-aligned (or equal a sub-128 sq_p) — the kernel slices
+    transposed [d, sq_p] operands at i*chunk offsets. The r4 regression
+    shape sq_p=1920/sk_p=2048 picked 240 (non-aligned) because the
+    ladder was seeded from the mutated dkv_block_q and the divisor
+    search lacked an alignment filter."""
+    from topiaxl.ops import flash_attention as fa
+
+    d_p = 128
+    for sq_p in (128, 256, 384, 512, 640, 1024, 1408, 1920, 2048, 2176):
+        for sk_p in (256, 512, 1408, 2048):
+            c = fa._select_fused_chunk(sq_p, sk_p, sk_p, d_p, 256)
+            if c is None:
+                continue
+            assert sq_p % c == 0, (sq_p, sk_p, c)
+            assert c % 128 == 0 or c == sq_p <= 128, (sq_p, sk_p, c)
+            assert 5.5 * 4 * sk_p * c <= 11_000_000, (sq_p, sk_p, c)
+    # the regression shape takes the fused path with an aligned chunk
+    c = fa._select_fused_chunk(1920, 2048, 2048, d_p, 256)
+    assert c == 128, c
+    # sub-lane sequences still fuse as a single chunk
+    c = fa._select_fused_chunk(64, 256, 256, d_p, 256)
+    assert c == 64, c
+
+
+def test_flash_fused_backward_1920x2048_matches_two_pass():
+    """Numerical check at the exact ADVICE r4 #1 regression shape
+    (sq_p=1920, sk_p=2048): fused single-pass backward vs forced
+    two-pass."""
+    from topiaxl.ops import flash_attention as fa
+
+    rng = np.random.default_rng(41)
+    B, Sq, Sk, H, hd = 1, 1920, 2048, 1, 8
+    scale = hd**-0.5
+    q = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Sk, H, hd)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, Sq, H, hd)), jnp.float32)
+    out, lse = fa._flash_forward(q, k, v, scale, return_lse=True)
+    fused = fa._flash_backward(q, k, v, out, lse, g, scale)
+    twop = fa._flash_backward(q, k, v, out, lse, g, scale,
+                              block_q=128, block_k=512,
+                              dkv_block_q=128, dkv_block_k=512)
+    for gf, gt, name in zip(fused, twop, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gt), atol=3e-5,
+            err_msg=f"d{name} fused vs two-pass (Sq=1920, Sk=2048)")

@@ -354,8 +354,7 @@ def _skyline_pack(sizes, pad: float, allow_rotate: bool = True):
     return pos
 
 
-def _bitmap_try(islands, scale: float, pad_cells: int, grid: int,
-                order=None):
+def _bitmap_try(islands, scale: float, pad_cells: int, grid: int):
     """One bitmap-packing attempt at a fixed scale: each island is
     rasterized to a cell bitmap (dilated by pad_cells), tried in both
     orientations (as-is and rotated 90 degrees), and placed at the
@@ -372,9 +371,8 @@ def _bitmap_try(islands, scale: float, pad_cells: int, grid: int,
 
     from .rasterize import rasterize_uv_atlas
 
-    if order is None:
-        order = sorted(range(len(islands)),
-                       key=lambda i: -(islands[i][2] * islands[i][3]))
+    order = sorted(range(len(islands)),
+                   key=lambda i: -(islands[i][2] * islands[i][3]))
     occ = np.zeros((grid, grid), np.float32)
     out = [None] * len(islands)
     # the occupancy grid stores RAW island masks and only the candidate

@@ -545,6 +545,35 @@ def _flash_bwd_dkv_kernel(q_ref, qt_ref, k_ref, v_ref, do_ref, dot_ref,
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
+def _select_fused_chunk(sq_p, sk_p, block_k, d_p, dkv_q_seed):
+    """lg/dp chunk for the single-pass fused backward, or None to take
+    the two-pass kernels. Invariants (unit-tested in
+    tests/test_attention.py::test_fused_chunk_selection_invariants):
+    a returned chunk always divides sq_p, is 128-aligned OR equal to an
+    sq_p <= 128 (the fused kernel lane-slices transposed [d, sq_p]
+    operands at i*chunk offsets, which must be 128-aligned on TPU), and
+    fits the scoped-VMEM budget (two pipelined [sk_p, chunk] f32 lg/dp
+    pairs + p/ds transients ~= 5.5 * 4 * sk_p * chunk bytes)."""
+    if sk_p != block_k or sk_p > 2048 or 12 * sq_p * d_p > 6_000_000:
+        return None  # multi-KV-block or q-side operands exceed VMEM
+    chunk = min(dkv_q_seed, sq_p)
+    while chunk > 128 and 5.5 * 4 * sk_p * chunk > 11_000_000:
+        chunk //= 2
+    if sq_p % chunk == 0 and chunk % 128 == 0 \
+            and 5.5 * 4 * sk_p * chunk <= 11_000_000:
+        return chunk
+    # ladder landed on a non-divisor / non-multiple: largest 128-aligned
+    # divisor of sq_p under the seed that fits the budget
+    start = (min(chunk, sq_p) // 128) * 128
+    chunk = next((c for c in range(start, 127, -128)
+                  if sq_p % c == 0 and 5.5 * 4 * sk_p * c <= 11_000_000),
+                 None)
+    if chunk is None and sq_p <= 128 \
+            and 5.5 * 4 * sk_p * sq_p <= 11_000_000:
+        chunk = sq_p  # sub-lane seq: single chunk, no offset slicing
+    return chunk
+
+
 def _flash_backward(q, k, v, out, lse, do, scale,
                     block_q=512, block_k=2048, dkv_block_q=256,
                     dkv_block_k=1024, interpret=None):
@@ -569,6 +598,11 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     block_q = min(block_q, sq_p)
     if sq_p % block_q:
         block_q = sq_p  # single q block (shapes below flagship)
+    # seed for the fused-path chunk ladder below: the CALLER's dkv
+    # block (capped at sq_p), captured before the two-pass mutation —
+    # seeding from the mutated value (sq_p when 256 doesn't divide it)
+    # made the ladder land on non-128-multiples like 240 at sq_p=1920
+    dkv_q_seed = min(dkv_block_q, sq_p)
     dkv_block_q = min(dkv_block_q, sq_p)
     if sq_p % dkv_block_q or (dkv_block_q % 128 and dkv_block_q != sq_p):
         dkv_block_q = sq_p  # single chunk; preserves lane alignment
@@ -596,19 +630,7 @@ def _flash_backward(q, k, v, out, lse, do, scale,
     # non-divisor, fall back to the largest 128-multiple divisor that
     # fits instead of chunk=sq_p (sq_p=1920/sk_p=2048 would otherwise
     # put a ~31 MB pipelined pair in VMEM).
-    fused_chunk = None
-    if sk_p == block_k and sk_p <= 2048 and 12 * sq_p * d_p <= 6_000_000:
-        fused_chunk = dkv_block_q
-        while fused_chunk > 128 and 5.5 * 4 * sk_p * fused_chunk > 11_000_000:
-            fused_chunk //= 2
-        if sq_p % fused_chunk or fused_chunk % 128:
-            fused_chunk = next(
-                (c for c in range(min(fused_chunk, sq_p), 127, -128)
-                 if sq_p % c == 0
-                 and 5.5 * 4 * sk_p * c <= 11_000_000), None)
-            if fused_chunk is None and sq_p <= 128 \
-                    and 5.5 * 4 * sk_p * sq_p <= 11_000_000:
-                fused_chunk = sq_p
+    fused_chunk = _select_fused_chunk(sq_p, sk_p, block_k, d_p, dkv_q_seed)
     if fused_chunk is not None:
         # single-pass fused backward (one program per batch*head, the
         # whole KV block in VMEM): computes lg/dp once for dq AND dk/dv.
