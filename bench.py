@@ -307,14 +307,17 @@ def _require_tpu(timeout_s: float = 900.0) -> None:
 
 def _read_slow_suite() -> dict:
     """Report the recorded `pytest -m slow` tier outcome (VERDICT r3
-    item 7). The tier is CPU-only and ~15 min, so it runs out-of-band
-    via `python -m benchmarks.run_slow_suite` which persists
-    runs/slow_suite.json; here it is embedded in the bench JSON, marked
-    stale when the source tree moved past the SHA it was produced at."""
+    item 7; r4 item 2). The tier is CPU-only and ~15 min, so it runs
+    out-of-band via `python -m benchmarks.run_slow_suite` which persists
+    runs_meta/slow_suite.json (a TRACKED path, so the record survives a
+    fresh driver checkout); here it is embedded in the bench JSON,
+    marked stale when the source tree moved past the SHA it was produced
+    at, and unverifiable when that SHA no longer resolves or the record
+    came from a dirty tree (ADVICE r4 #2)."""
     import subprocess
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "runs", "slow_suite.json")
+                        "runs_meta", "slow_suite.json")
     if not os.path.exists(path):
         return {"slow_suite": "not run"}
     try:
@@ -324,19 +327,29 @@ def _read_slow_suite() -> dict:
         out = {"slow_suite": rec.get("status", "unknown"),
                "slow_suite_passed": rec.get("passed"),
                "slow_suite_sha": rec.get("sha")}
-        if rec.get("sha"):
-            # stale only if SOURCE changed since the recorded run —
-            # bookkeeping commits (runs/, docs, bench records) don't
-            # invalidate a test-tier result
-            diff = subprocess.run(
-                ["git", "diff", "--name-only", f"{rec['sha']}..HEAD"],
-                cwd=root, capture_output=True, text=True).stdout.split()
-            src = [p for p in diff
-                   if not (p.startswith(("runs/", "docs/"))
-                           or p.endswith((".md", ".json")))]
-            if src:
-                out["slow_suite"] = (f"{out['slow_suite']} "
-                                     f"(stale @{rec['sha']})")
+        if not rec.get("sha"):
+            out["slow_suite"] += " (no sha recorded)"
+            return out
+        if rec.get("dirty"):
+            out["slow_suite"] += f" (unverifiable: dirty tree @{rec['sha']})"
+            return out
+        # stale only if SOURCE changed since the recorded run —
+        # bookkeeping commits (runs/, docs, bench records) don't
+        # invalidate a test-tier result
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{rec['sha']}..HEAD"],
+            cwd=root, capture_output=True, text=True)
+        if diff.returncode != 0:
+            # recorded SHA unresolvable (rebase/GC/shallow clone): an
+            # empty diff here would otherwise read as fresh 'pass'
+            out["slow_suite"] += f" (unverifiable @{rec['sha']})"
+            return out
+        src = [p for p in diff.stdout.split()
+               if not (p.startswith(("runs/", "runs_meta/", "docs/"))
+                       or p.endswith((".md", ".json")))]
+        if src:
+            out["slow_suite"] = (f"{out['slow_suite']} "
+                                 f"(stale @{rec['sha']})")
         return out
     except Exception as e:
         return {"slow_suite": f"error: {e!r}"[:120]}
