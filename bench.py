@@ -32,6 +32,7 @@ at ~40% fp16 MFU).
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -431,6 +432,21 @@ def main():
         except Exception as e:
             result["train_bs8_error"] = repr(e)[:200]
     print(json.dumps(result))
+    # tracked latest-measurement record: the doc-number lint
+    # (tests/test_doc_numbers.py) asserts every <!--bench:field--> claim
+    # in README.md/docs/*.md against this file (VERDICT r4 item 3)
+    try:
+        import subprocess
+        root = os.path.dirname(os.path.abspath(__file__))
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=root, capture_output=True,
+                             text=True).stdout.strip()
+        os.makedirs(os.path.join(root, "runs_meta"), exist_ok=True)
+        with open(os.path.join(root, "runs_meta", "bench_latest.json"),
+                  "w") as f:
+            json.dump({"sha": sha, "result": result}, f, indent=1)
+    except Exception as e:
+        print(f"bench_latest write failed: {e!r}", file=sys.stderr)
 
 
 def bench_dit_steps_int8() -> float:
