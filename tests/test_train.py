@@ -276,6 +276,92 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 0
 
 
+def test_checkpoint_cross_mesh_restore(tmp_path):
+    """A checkpoint written under {dp: 8} restores BIT-IDENTICALLY onto
+    {dp: 2, fsdp: 2, tp: 2} with tensor-parallel param layout, resumes
+    training with matching numerics, and the reverse direction round-
+    trips too (VERDICT r4 item 6 — resharding-on-restore is the first
+    thing real TPU training hits after a topology change)."""
+    from topiaxl.core.checkpoint import (
+        restore_checkpoint, save_checkpoint, sharded_restore_template,
+    )
+    from topiaxl.parallel import (
+        batch_sharding, dit_param_rules, make_mesh, shard_params,
+    )
+    from topiaxl.parallel.sharding import replicated
+
+    # tp/fsdp-divisible dims so the rules bite
+    model = DiT(seq_length=8, in_channels=4, condition_channels=8,
+                hidden_size=32, depth=1, num_heads=4, cond_drop_prob=0.1,
+                dtype=jnp.float32)
+    diffusion = create_diffusion(
+        timestep_respacing=None, noise_schedule="squaredcos_cap_v2",
+        parameterization="v", diffusion_steps=20)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 3, 8)))
+    opt = make_optimizer(lr=1e-3, warmup_iters=1, max_iters=100)
+    train_step = make_train_step(model, diffusion, opt)
+    batch = {
+        "x": jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 4)),
+                         jnp.float32),
+        "y": jnp.asarray(np.random.default_rng(1).standard_normal((8, 3, 8)),
+                         jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    # train 2 steps under {dp: 8} (non-trivial optimizer moments), save
+    dp_mesh = make_mesh({"dp": 8})
+    with dp_mesh:
+        state = create_train_state(params, opt)
+        state = state._replace(
+            params=jax.device_put(state.params, replicated(dp_mesh)),
+            ema_params=jax.device_put(state.ema_params, replicated(dp_mesh)),
+        )
+        bsh = batch_sharding(dp_mesh, "dp")
+        b2 = jax.tree.map(lambda a: jax.device_put(a, bsh), batch)
+        step_fn = jax.jit(train_step)
+        state, _ = step_fn(state, b2, key)
+        state, _ = step_fn(state, b2, jax.random.PRNGKey(8))
+    path_a = str(tmp_path / "ckpt_dp8")
+    save_checkpoint(path_a, state)
+
+    # restore onto {dp: 2, fsdp: 2, tp: 2} with tp param layout
+    rules = dit_param_rules()
+    tp_mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    template = sharded_restore_template(state, tp_mesh, rules)
+    restored = restore_checkpoint(path_a, template)
+
+    # (a) the layout really is tensor-parallel, for moments too
+    qkv = restored.params["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "tp" in qkv.sharding.spec, qkv.sharding
+    moments = [l for l in jax.tree.leaves(restored.opt_state)
+               if getattr(l, "shape", None) == qkv.shape
+               and "tp" in l.sharding.spec]
+    assert moments, "optimizer moments did not pick up the tp layout"
+    # (b) bit-identical values across every leaf
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (c) the restored state RESUMES: step 3 on each mesh matches
+    with dp_mesh:
+        s_ref, m_ref = step_fn(state, b2, jax.random.PRNGKey(9))
+    with tp_mesh:
+        b3 = jax.tree.map(
+            lambda a: jax.device_put(a, batch_sharding(tp_mesh, "dp")),
+            batch)
+        s_tp, m_tp = jax.jit(train_step)(restored, b3, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=2e-5)
+
+    # (d) reverse: save the tp-sharded state, restore replicated onto dp
+    path_b = str(tmp_path / "ckpt_tp")
+    save_checkpoint(path_b, s_tp)
+    template_b = sharded_restore_template(s_tp, dp_mesh, rules=None)
+    back = restore_checkpoint(path_b, template_b)
+    for a, b in zip(jax.tree.leaves(s_tp), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sequence_parallel_train_step_matches_single_device():
     """dp x sp: activations sharded over batch AND tokens through the
     whole train step — GSPMD inserts the attention all-gathers; numerics

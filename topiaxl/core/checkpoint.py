@@ -28,6 +28,35 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     return ckptr.restore(path, template)
 
 
+def sharded_restore_template(state: Any, mesh, rules=None) -> Any:
+    """Abstract restore template that RESHARDS onto ``mesh``.
+
+    Checkpoints store global arrays, so a state written under one mesh
+    layout (say ``{dp: 8}``) restores bit-identically onto any other
+    (``{dp: 2, fsdp: 2, tp: 2}``) when the template carries the target
+    shardings — the first thing real TPU training hits after a topology
+    change (the reference's bare ``torch.save/load`` has no notion of
+    this, SURVEY.md §5). ``rules`` are ``(regex, PartitionSpec)`` pairs
+    (e.g. ``parallel.dit_param_rules()``); because optimizer moments
+    mirror parameter paths, the same rules shard them consistently.
+    Scalars and unmatched leaves replicate.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import _fit_spec, _path_str, spec_for
+
+    rules = rules if rules is not None else [(r".*", P())]
+
+    def make(path, x):
+        name = _path_str(path)
+        spec = _fit_spec(spec_for(name, rules), x.shape, mesh, name=name)
+        return jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(make, state)
+
+
 class CheckpointManager:
     """Rolling manager: keeps the last N step checkpoints + latest lookup."""
 
