@@ -243,6 +243,16 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
     worst case. Swept r4 on the bench sphere: sigma 3.0 -> 2.0 cuts
     refine 1.14 -> 0.95 s at identical extracted geometry (vertex
     deviation below the subsample noise floor of the comparison).
+
+    The blended PrimX field is only approximately an SDF (ADVICE r4
+    #3), so the 1-Lipschitz assumption is NOT baked in: the band
+    threshold scales with a local Lipschitz bound MEASURED on the
+    coarse lattice (per-cell max forward difference in cell units,
+    max-pooled over the 3^3 neighborhood, floored at 1). Where payload
+    slopes exceed metric distance the band widens proportionally, so
+    steep fields trade refine time for the same crossing-containment
+    guarantee instead of silently clipping geometry; on near-metric
+    fields (the bench assets measure lip ~1.0) nothing changes.
     """
     res = resolution
     if coarse >= res:
@@ -288,7 +298,23 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
     from scipy import ndimage
 
     cell_c = 2.0 / (coarse - 1)
-    band = ndimage.minimum_filter(np.abs(grid_c), size=3) < band_sigma * cell_c
+    # local Lipschitz bound of the blended field, measured per coarse
+    # cell (max |forward difference| over the three axes, in cell
+    # units), max-pooled over the same 3^3 neighborhood the band test
+    # uses. Floored at 1: an under-resolved gradient must not SHRINK
+    # the 1-Lipschitz band; it can only widen it.
+    lip = np.zeros_like(grid_c)
+    for ax in range(3):
+        d = np.abs(np.diff(grid_c, axis=ax)) / cell_c
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[ax] = slice(0, -1)
+        sl_hi[ax] = slice(1, None)
+        np.maximum(lip[tuple(sl_lo)], d, out=lip[tuple(sl_lo)])
+        np.maximum(lip[tuple(sl_hi)], d, out=lip[tuple(sl_hi)])
+    lip = np.maximum(ndimage.maximum_filter(lip, size=3), 1.0)
+    band = (ndimage.minimum_filter(np.abs(grid_c), size=3)
+            < band_sigma * cell_c * lip)
 
     if res % coarse == 0:
         f = res // coarse
@@ -382,6 +408,52 @@ def _bake_query_u8_batched(params, batches, dim_feat: int = 6,
                               prim_shape=prim_shape, top_k=top_k)
 
     return jax.lax.map(one, batches)
+
+
+@partial(jax.jit, static_argnames=("cell_res", "top_k", "dim_feat",
+                                   "prim_shape"))
+def _bake_query_u8_cells(params, pts2, inv2, cells, cell_res: int = 64,
+                         top_k: int = 16, dim_feat: int = 6,
+                         prim_shape: int = 8):
+    """Cell-candidate texel bake: the refine pass's amortization trick
+    (_refine_cells_int8) applied to the bake. The per-point exact
+    lax.top_k over all 2048 prims is the single most expensive op of
+    the per-point bake (primx.query docstring); surface texels cluster
+    into a few thousand occupied cells of a ``cell_res``^3 lattice, so
+    ONE top-k over the unique cells (prim slab dilated by the cell
+    half-width vs cell center — a superset of every prim touching any
+    point of the cell, ordered by overlap margin) replaces ~600k
+    per-point top-ks. Measured on v5e at the bench bake (612k texels):
+    0.899 s -> 0.450 s at max uint8 texel delta 7 vs the per-point
+    path — the same delta class as the accepted exact-k24-vs-k32 gap.
+
+    pts2 [n_b, B, 3] int16 fixed-point; inv2 [n_b, B] int32 indices
+    into ``cells`` [U] int32 flat cell ids (host-deduplicated).
+    Returns [n_b, B, 5] uint8."""
+    pos = params.srt[:, 1:4]
+    scl = params.srt[:, 0:1]
+    h = 1.0 / cell_res  # half cell width ([-1,1] domain)
+    ci = cells // (cell_res * cell_res)
+    cj = (cells // cell_res) % cell_res
+    ck = cells % cell_res
+    center = (jnp.stack([ci, cj, ck], -1).astype(jnp.float32) + 0.5) \
+        * (2.0 / cell_res) - 1.0
+    dist = jnp.max(jnp.abs(center[:, None, :] - pos[None, :, :]), -1)
+    margin = (scl[:, 0][None, :] + h) - dist
+    _, table = jax.lax.top_k(margin, top_k)        # [U, K]
+
+    def one(args):
+        pts, inv = args
+        x = pts.astype(jnp.float32) * (1.0 / 32767.0)
+        cand = jnp.take(table, inv, axis=0)
+        out = primx_lib.query(
+            params, x, dim_feat=dim_feat, prim_shape=prim_shape,
+            with_fallback=False, outputs=("tex", "mat"), cand_idx=cand,
+            gather="rows")
+        v = jnp.concatenate([out["tex"], out["mat"]], axis=-1)
+        return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return jax.lax.map(one, (pts2, inv2))
 
 
 @partial(jax.jit, static_argnames=("coarse", "res", "dim_feat", "prim_shape",
@@ -622,8 +694,24 @@ def extract_glb(
     n_b = -(-n_b // 4) * 4
     pts_p = np.zeros((n_b * batch_size, 3), np.int16)
     pts_p[:P] = np.round(np.clip(pts_np, -1.0, 1.0) * 32767.0)
-    texmat = np.asarray(_bake_query_u8_batched(
+    # cell-candidate bake (see _bake_query_u8_cells): texels binned to a
+    # 64^3 lattice host-side; the unique-cell list is padded to a
+    # 1024-multiple bucket (duplicate dummy cells — their top-k rows are
+    # computed but never gathered) so the jit sees few distinct shapes
+    cell_res = 64
+    cc = np.clip(((pts_np + 1.0) * 0.5 * cell_res).astype(np.int64),
+                 0, cell_res - 1)
+    cid = (cc[:, 0] * cell_res + cc[:, 1]) * cell_res + cc[:, 2]
+    ucells, inv = np.unique(cid, return_inverse=True)
+    u_pad = -(-len(ucells) // 1024) * 1024
+    u_p = np.zeros(u_pad, np.int32)
+    u_p[:len(ucells)] = ucells
+    inv_p = np.zeros(n_b * batch_size, np.int32)
+    inv_p[:P] = inv
+    texmat = np.asarray(_bake_query_u8_cells(
         params, jnp.asarray(pts_p.reshape(n_b, batch_size, 3)),
+        jnp.asarray(inv_p.reshape(n_b, batch_size)), jnp.asarray(u_p),
+        cell_res=cell_res, top_k=min(16, params.srt.shape[0]),
         dim_feat=dim_feat, prim_shape=prim_shape,
     )).reshape(-1, 5)[:P]  # [P, 5] uint8
     out = {}
