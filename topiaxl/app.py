@@ -179,6 +179,19 @@ def launch_ui(config_path: str = "configs/inference_dit.yml",
 
     app = App(config_path, overrides)
 
+    # HDR-relightable GLB viewer (reference app.py:218-249): LitModel3D
+    # renders the PBR material under an uploadable .hdr environment —
+    # the reference's way of eyeballing roughness/metallic. The widget
+    # ships as a separate gradio component package; plain gr.Model3D is
+    # the fallback when it isn't installed.
+    try:
+        from gradio_litmodel3d import LitModel3D as _Viewer3D
+
+        _has_lit = True
+    except ImportError:
+        _Viewer3D = gr.Model3D
+        _has_lit = False
+
     with gr.Blocks(title="topiaxl — 3DTopia-XL on TPU") as demo:
         gr.Markdown("# topiaxl — single image to PBR 3D asset (TPU-native)")
         with gr.Row():
@@ -203,7 +216,20 @@ def launch_ui(config_path: str = "configs/inference_dit.yml",
                                   label="UV unwrap")
                 remesh = gr.Checkbox(False, label="isotropic remesh")
                 exp_btn = gr.Button("3 — Export GLB")
-                viewer = gr.Model3D(label="generated GLB")
+                if _has_lit:
+                    viewer = _Viewer3D(label="generated GLB",
+                                       clear_color=[0.0, 0.0, 0.0, 0.0],
+                                       tonemapping="aces", contrast=1.0,
+                                       scale=1.0)
+                    hdr_file = gr.File(label="HDR envmap (relight)",
+                                       file_types=[".hdr"],
+                                       file_count="single")
+                    hdr_file.change(
+                        lambda x: gr.update(
+                            env_map=x.name if x is not None else None),
+                        inputs=hdr_file, outputs=[viewer])
+                else:
+                    viewer = _Viewer3D(label="generated GLB")
 
         def _prep(image, rm):
             img = app.preprocess(image, remove_bg=bool(rm))
