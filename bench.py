@@ -274,6 +274,58 @@ def bench_pipelined_assets_per_min(ctx, n: int = 4) -> float:
     return 60.0 * n / (time.perf_counter() - t0)
 
 
+def bench_dpm_gate(ctx) -> dict:
+    """DPM-Solver++ quality gate (VERDICT r4 item 8): the README claim
+    "12 dpm steps match 25-step DDIM quality" was previously backed only
+    by synthetic rough-model tests; this measures it at flagship scale.
+    The same conditioning + noise run through ddim25 (the shipped
+    default), dpm12, and ddim200 (a quasi-converged reference for the
+    same probability-flow ODE); fidelity is scored on the DECODED
+    payloads — exactly what the texture bake samples (a baked texel is a
+    convex prim-weight blend of payload texels, so payload PSNR bounds
+    bake-texel PSNR) — which lets the gate run on the bench DiT without
+    released weights. The claim holds iff dpm12 sits at least as close
+    to the converged ODE solution as ddim25 does (within ~1 dB)."""
+    from topiaxl.diffusion import create_diffusion
+
+    P = ctx["P"]
+    image = ctx["prepare_image"](ctx["png"], matting="u2net",
+                                 matter=ctx["matter"])
+    y = ctx["encoder"](jnp.asarray(image[None]))
+
+    def run(spacing, sampler):
+        diff = create_diffusion(
+            timestep_respacing=spacing, noise_schedule="squaredcos_cap_v2",
+            parameterization="v", diffusion_steps=1000)
+        params = P.generate_primx(
+            ctx["dit"], ctx["vae"], diff, ctx["dit_params"],
+            ctx["vae_params"], y, jax.random.PRNGKey(7), ctx["mean"],
+            ctx["std"], cfg_scale=6.0, sampler=sampler)
+        # channel-major payload [N, 6, S^3]: ch 0 = SDF, 1:4 = albedo
+        return np.asarray(params.feat).reshape(
+            params.feat.shape[0], 6, -1)
+
+    f_ddim25 = run("ddim25", "ddim")
+    f_dpm12 = run("ddim12", "dpm")
+    f_ref = run("ddim200", "ddim")
+
+    def tex_psnr(a, b):
+        ta = np.clip(a[:, 1:4], 0.0, 1.0)  # the bake clips albedo to [0,1]
+        tb = np.clip(b[:, 1:4], 0.0, 1.0)
+        mse = float(np.mean((ta - tb) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    def sdf_p99(a, b):
+        return float(np.percentile(np.abs(a[:, 0] - b[:, 0]), 99))
+
+    return {
+        "dpm_albedo_psnr_db": round(tex_psnr(f_dpm12, f_ddim25), 1),
+        "dpm_geometry_p99_dev": round(sdf_p99(f_dpm12, f_ddim25), 5),
+        "dpm12_vs_ode_psnr_db": round(tex_psnr(f_dpm12, f_ref), 1),
+        "ddim25_vs_ode_psnr_db": round(tex_psnr(f_ddim25, f_ref), 1),
+    }
+
+
 def _require_tpu(timeout_s: float = 900.0) -> None:
     """Fail FAST and LOUD if the tunneled TPU is unreachable.
 
@@ -399,6 +451,14 @@ def main():
                     bench_pipelined_assets_per_min(e2e_ctx), 2)
             except Exception as e:
                 result["pipelined_error"] = repr(e)[:200]
+            try:
+                # sampler-quality gate behind the README dpm claim
+                # (VERDICT r4 item 8) — reuses the e2e ctx's compiled
+                # ddim25 chain; adds one dpm12 + one ddim200 compile
+                result.update(bench_dpm_gate(e2e_ctx))
+            except Exception as e:
+                result["dpm_gate_error"] = repr(e)[:200]
+            print(json.dumps(result), flush=True)
         # the serving context (DiT/VAE params, compiled chains) and the
         # jit executable cache pin several GB of HBM; the bs-8 train row
         # needs nearly all 16 GB (its r3 run died RESOURCE_EXHAUSTED when
