@@ -644,7 +644,9 @@ def bench_fidelity():
         "uv_stretch_l2_lscm": round(mq["stretch_l2"], 4),
         "uv_stretch_linf_box": round(mb["stretch_linf"], 3),
         "uv_stretch_linf_lscm": round(mq["stretch_linf"], 3),
+        "uv_coverage_box": round(mb["coverage"], 3),
         "uv_coverage_lscm": round(mq["coverage"], 3),
+        "uv_charts_box": mb["charts"],
         "uv_charts_lscm": mq["charts"],
     })
     return result
