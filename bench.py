@@ -37,6 +37,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_STEPS_PER_SEC = 13.0   # estimated A100 fp16 reference (docstring)
 E2E_TARGET_S = 30.0             # BASELINE.md: <30 s image->GLB on one v5e

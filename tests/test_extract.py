@@ -387,6 +387,61 @@ def test_quality_uv_unwrap_lscm():
     assert mask.mean() > 0.15
 
 
+def test_refine_cells_dense_matches_per_point_query():
+    """The r5 cell-major separable refine (_refine_cells_int8: one
+    contiguous SDF-volume gather per (cell, prim) + one-hot axis
+    contractions) must reproduce the generic per-point query path it
+    replaced — same candidates, same tent blend, same uncovered-point
+    fallback — to f32 round-off, i.e. int8 outputs within one
+    quantization step."""
+    import jax
+    import jax.numpy as jnp
+
+    from topiaxl.models import primx as primx_lib
+    from topiaxl.models.primx import PrimXParams, local_grid
+    from topiaxl.pipelines.infer import _refine_cells_int8
+
+    rng = np.random.default_rng(11)
+    n_prims, S, K = 64, 8, 16
+    pos = rng.uniform(-0.6, 0.6, (n_prims, 3)).astype(np.float32)
+    scale = rng.uniform(0.05, 0.25, (n_prims, 1)).astype(np.float32)
+    feat = rng.standard_normal((n_prims, 6 * S**3)).astype(np.float32)
+    params = PrimXParams(jnp.asarray(np.concatenate([scale, pos], 1)),
+                         jnp.asarray(feat))
+
+    coarse, res = 16, 64
+    f = res // coarse
+    ids = np.asarray(
+        rng.choice(coarse**3, size=192, replace=False), np.int32)
+    sdf_range = np.float32(0.3)
+    got = np.asarray(_refine_cells_int8(
+        params, jnp.asarray(ids), coarse, res, sdf_range, top_k=K))
+
+    # reference: the pre-r5 per-point path — same per-cell margin top_k
+    # candidates, blended through the generic query (rows gather)
+    step = 2.0 / (res - 1)
+    ci, cj, ck = (ids // coarse**2, (ids // coarse) % coarse, ids % coarse)
+    x0 = -1.0 + np.stack([ci, cj, ck], -1).astype(np.float32) * (f * step)
+    h = (f - 1) / 2 * step
+    center = x0 + h
+    dist = np.max(np.abs(center[:, None] - pos[None]), -1)
+    margin = (scale[:, 0][None] + h) - dist
+    idx_k = np.asarray(jax.lax.top_k(jnp.asarray(margin), K)[1])
+    off = np.arange(f, dtype=np.float32) * step
+    gx, gy, gz = np.meshgrid(off, off, off, indexing="ij")
+    pts = (x0[:, None, :] + np.stack([gx, gy, gz], -1).reshape(1, -1, 3)
+           ).reshape(-1, 3)
+    cand = np.broadcast_to(idx_k[:, None], (len(ids), f**3, K)).reshape(-1, K)
+    ref = primx_lib.query(
+        params, jnp.asarray(pts), with_fallback=True, outputs=("sdf",),
+        cand_idx=jnp.asarray(cand), gather="rows")["sdf"][:, 0]
+    ref_q = np.asarray(jnp.round(
+        jnp.clip(ref / sdf_range, -1.0, 1.0) * 127.0).astype(jnp.int8))
+    diff = np.abs(got.reshape(-1).astype(np.int32)
+                  - ref_q.astype(np.int32))
+    assert diff.max() <= 1, (diff.max(), (diff > 0).mean())
+
+
 def test_sdf_grid_matches_brute_force():
     """Coarse-to-fine sdf_grid (nearest non-band fill + single-dispatch
     int8 band refinement) must yield the SAME isosurface topology as the

@@ -317,7 +317,7 @@ def quality_uv_unwrap(
     angle_thresh_deg: float = 60.0,
     max_chart_faces: int = 20000,
     small_chart_faces: int = 40,
-    tile_target: int = 33,
+    tile_target: int = 24,
     merge_scale_tol: float = 1.4,
     merge_fill_min: float = 0.70,
     piece_cap: float = 0.45,

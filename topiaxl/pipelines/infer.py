@@ -277,14 +277,21 @@ def sdf_grid(params: PrimXParams, resolution: int = 256,
             timings[name] = round(now - t0, 3)
         t0 = now
 
-    lin_c = np.linspace(-1.0, 1.0, coarse, dtype=np.float32)
-    ic, jc, kc = np.meshgrid(lin_c, lin_c, lin_c, indexing="ij")
-    pts_c = jnp.asarray(np.stack([ic, jc, kc], -1).reshape(-1, 3))
-    out_c = primx_lib.query_chunked(
-        params, pts_c, chunk=chunk, dim_feat=dim_feat,
-        prim_shape=prim_shape, top_k=top_k, outputs=("sdf",),
-        gather="rows")
-    grid_c = np.asarray(out_c["sdf"].astype(jnp.float16)).astype(np.float32)
+    if coarse % 4 == 0:
+        # cell-major dense pass (one dispatch; see _cells_sdf_dense)
+        flat = _coarse_grid_f16(params, coarse, f=4,
+                                prim_shape=prim_shape, top_k=top_k)
+        grid_c = np.asarray(flat).astype(np.float32)
+    else:
+        lin_c = np.linspace(-1.0, 1.0, coarse, dtype=np.float32)
+        ic, jc, kc = np.meshgrid(lin_c, lin_c, lin_c, indexing="ij")
+        pts_c = jnp.asarray(np.stack([ic, jc, kc], -1).reshape(-1, 3))
+        out_c = primx_lib.query_chunked(
+            params, pts_c, chunk=chunk, dim_feat=dim_feat,
+            prim_shape=prim_shape, top_k=top_k, outputs=("sdf",),
+            gather="rows")
+        grid_c = np.asarray(out_c["sdf"].astype(jnp.float16))
+        grid_c = grid_c.astype(np.float32)
     grid_c = grid_c.reshape(coarse, coarse, coarse)
     _phase("coarse_query")
 
@@ -474,26 +481,37 @@ def _refine_cells_int8_batched(params, ids2, coarse: int, res: int,
     return jax.lax.map(one, ids2)
 
 
-def _refine_cells_int8(params, ids, coarse: int, res: int, sdf_range,
-                       dim_feat: int = 6, prim_shape: int = 8,
-                       top_k: int = 16):
-    """Evaluate the f^3 fine-lattice subcells of each coarse band cell and
-    return int8-quantized SDF (scaled by sdf_range). Everything —
-    coordinate expansion, field query, quantization — stays on device so
-    only ids (up) and int8 (down) cross the host link.
+def _cells_sdf_dense(params, ids, coarse: int, res: int,
+                     prim_shape: int = 8, top_k: int = 16):
+    """Dense cell-major SDF evaluation: the f^3 fine-lattice points of
+    each coarse cell ``ids`` (flat ids on the ``coarse``^3 cell lattice;
+    fine lattice is ``res`` = coarse * f points per axis), returned as
+    f32 [n, f^3] in (a, b, c) = (x, y, z) fine-index order.
 
     Candidate prims are selected ONCE PER CELL (a prim can touch a point
     of the cell iff its slab dilated by the cell half-width contains the
     cell center), amortizing the top-k over the f^3 points it used to run
-    per-point: measured 50 -> 26 ms per 32k-point chunk on v5e, and at
-    2*top_k candidates the per-point tent weights lose strictly less
-    coverage than the old per-point top_k."""
+    per-point; cell-level selection orders by slab overlap rather than
+    per-point weight — same truncation class as the per-point top_k.
+
+    Cell-major dense sampling (r5): the per-(point, prim) row gathers of
+    the generic query path move 32-byte rows (8 SDF voxels) — far below
+    the transfer granularity TPU gathers need, so the refine ran at ~3%
+    of HBM bandwidth. All f^3 points of a cell share the candidate set,
+    so instead gather each candidate's WHOLE 512-voxel SDF volume once
+    per (cell, prim) — a contiguous 2 KB row — and evaluate trilinear
+    interpolation as separable one-hot contractions over the volume axes
+    (the fine sub-lattice is axis-aligned, so the grid_sample weights
+    factor per axis). Identical math — one-hot rows carry (1-frac, frac)
+    at floor/ceil with out-of-range corners matching nothing, exactly
+    grid_sample(align_corners=True, padding_mode='zeros') — reorganized
+    from 4096 tiny gathers per cell into K contiguous gathers plus dense
+    VPU work. Measured on v5e (23.6k-cell band on a 2048-prim shell):
+    band refine 0.94 s -> 0.26 s warm; the r4 bench recorded 0.935 s at
+    a 26.8k-cell band for the per-point path."""
     f = res // coarse
     n = ids.shape[0]
-    # K = top_k keeps the gather volume (the dominant cost) identical to
-    # the old per-point path while the margin top_k runs once per cell
-    # instead of once per point; cell-level selection orders by slab
-    # overlap rather than per-point weight — same truncation class
+    S = prim_shape
     K = min(top_k, params.srt.shape[0])
     pos = params.srt[:, 1:4]
     scl = params.srt[:, 0:1]
@@ -513,7 +531,49 @@ def _refine_cells_int8(params, ids, coarse: int, res: int, sdf_range,
     margin = (scl[:, 0][None, :] + h) - dist           # [n, N]
     _, idx_k = jax.lax.top_k(margin, K)                # [n, K]
 
-    off = jnp.arange(f, dtype=jnp.float32) * step
+    # contiguous per-(cell, prim) gathers: SDF volume rows + srt
+    feat_geo = params.feat[:, : S**3]
+    volk = jnp.take(feat_geo, idx_k, axis=0).reshape(n, K, S, S, S)
+    posk = jnp.take(pos, idx_k, axis=0)                # [n, K, 3]
+    sclk = jnp.take(scl[:, 0], idx_k, axis=0)          # [n, K]
+
+    off = jnp.arange(f, dtype=jnp.float32) * step      # [f]
+    # separable local coords u[n, K, 3, f]: fine point (a, b, c) has
+    # world coords x0 + (off[a], off[b], off[c]), so its prim-local
+    # coordinate along axis d depends only on its d-th fine index
+    u = (x0[:, None, :, None] + off[None, None, None, :]
+         - posk[..., None]) / sclk[:, :, None, None]
+
+    # one-hot grid_sample weights per axis [n, K, 3, f, S]: (1-frac) at
+    # floor, frac at floor+1; an out-of-range corner index matches no
+    # iota entry, reproducing padding_mode='zeros' (ops/grid_sample.py
+    # _corner_setup validity masks)
+    t = (u + 1.0) * 0.5 * (S - 1)
+    i0 = jnp.floor(t)
+    fr = (t - i0)[..., None]
+    i0 = i0.astype(jnp.int32)[..., None]
+    iota = jnp.arange(S, dtype=jnp.int32)
+    W = ((iota == i0).astype(jnp.float32) * (1.0 - fr)
+         + (iota == i0 + 1).astype(jnp.float32) * fr)
+
+    # payload volumes are [z, y, x] (models/primx.py local_grid), world
+    # coords are xyz: contract axis 2/1/0 of u against z/y/x of the volume
+    A = jnp.einsum("nkcz,nkzyx->nkcyx", W[:, :, 2], volk)
+    B = jnp.einsum("nkby,nkcyx->nkcbx", W[:, :, 1], A)
+    samp = jnp.einsum("nkax,nkcbx->nkabc", W[:, :, 0], B)  # [n, K, f, f, f]
+
+    # tent weights, also separable: w = relu(1 - max_d |u_d|)
+    au = jnp.abs(u)
+    m = jnp.maximum(au[:, :, 0][..., :, None, None],
+                    jnp.maximum(au[:, :, 1][..., None, :, None],
+                                au[:, :, 2][..., None, None, :]))
+    w = jax.nn.relu(1.0 - m)                           # [n, K, f, f, f]
+    wsum = jnp.sum(w, axis=1)                          # [n, f, f, f]
+    blended = jnp.sum(samp * w, axis=1) / (wsum + 1e-6)
+
+    # uncovered-point SDF fallback, same math as primx.query
+    # (models/primsdf.py:82-101); band cells just outside prim coverage
+    # would otherwise read 0 and fabricate crossings
     pts = jnp.stack(
         [
             jnp.broadcast_to(
@@ -525,18 +585,62 @@ def _refine_cells_int8(params, ids, coarse: int, res: int, sdf_range,
         ],
         axis=-1,
     ).reshape(n * f**3, 3)
-    cand = jnp.broadcast_to(idx_k[:, None, :], (n, f**3, K))
-    cand = cand.reshape(n * f**3, K)
+    covered = wsum.reshape(-1) > 0
+    dist_all = jnp.linalg.norm(pts[:, None, :] - pos[None, :, :], axis=-1)
+    near = jnp.argmin(dist_all, axis=-1)
+    near_pos = jnp.take(pos, near, axis=0)
+    near_scale = jnp.take(scl, near, axis=0)
+    gridpts = jnp.asarray(primx_lib.local_grid(S))
+    cand_pts = near_pos[:, None, :] + near_scale[:, :, None] * gridpts[None]
+    pts_dist = jnp.linalg.norm(pts[:, None, :] - cand_pts, axis=-1)
+    min_dist = jnp.min(pts_dist, axis=-1)
+    f_idx = jnp.argmin(pts_dist, axis=-1)
+    sdf_near = feat_geo[near, f_idx]
+    approx_sdf = sdf_near + min_dist * jnp.sign(sdf_near)
+    return jnp.where(covered, blended.reshape(-1), approx_sdf
+                     ).reshape(n, f**3)
 
-    # fallback stays ON: band cells just outside prim coverage would
-    # otherwise read 0 and fabricate crossings (costs <2% per micro-bench)
-    out = primx_lib.query(
-        params, pts, dim_feat=dim_feat, prim_shape=prim_shape,
-        with_fallback=True, outputs=("sdf",), cand_idx=cand,
-        gather="rows")
-    sdf = out["sdf"][:, 0]
+
+def _refine_cells_int8(params, ids, coarse: int, res: int, sdf_range,
+                       dim_feat: int = 6, prim_shape: int = 8,
+                       top_k: int = 16):
+    """int8-quantized band refine over _cells_sdf_dense: only ids (up)
+    and int8 (down) cross the host link; the isosurface lives well
+    inside sdf_range so the clamp loses nothing."""
+    sdf = _cells_sdf_dense(params, ids, coarse, res,
+                           prim_shape=prim_shape, top_k=top_k)
     q = jnp.clip(sdf / sdf_range, -1.0, 1.0) * 127.0
-    return jnp.round(q).astype(jnp.int8).reshape(n, f**3)
+    return jnp.round(q).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("coarse", "f", "prim_shape", "top_k",
+                                   "chunk_cells"))
+def _coarse_grid_f16(params, coarse: int, f: int = 4, prim_shape: int = 8,
+                     top_k: int = 16, chunk_cells: int = 512):
+    """The full ``coarse``^3 lattice evaluated cell-major (supercells of
+    f^3 lattice points) in ONE dispatch — the same dense-gather
+    restructure as the band refine, applied to the coarse pass that used
+    to run per-point top_k over all prims for every lattice point
+    (r4 bench: 0.298 s; this path measures ~0.08 s on v5e). Returns
+    [coarse^3] f16 in lattice (x, y, z) flat order."""
+    super_res = coarse // f
+    total = super_res**3
+    c = min(chunk_cells, total)
+    while total % c:
+        c -= 1
+    ids2 = jnp.arange(total, dtype=jnp.int32).reshape(-1, c)
+
+    def one(ids_chunk):
+        return _cells_sdf_dense(params, ids_chunk, super_res, coarse,
+                                prim_shape=prim_shape, top_k=top_k
+                                ).astype(jnp.float16)
+
+    out = jax.lax.map(one, ids2)          # [n_chunk, chunk, f^3]
+    n_sup = super_res
+    # (a, b, c) fine-index order per cell -> global lattice order:
+    # view as [ci, cj, ck, a, b, c] and interleave to [ci, a, cj, b, ck, c]
+    out = out.reshape(n_sup, n_sup, n_sup, f, f, f)
+    return out.transpose(0, 3, 1, 4, 2, 5).reshape(coarse**3)
 
 
 def _upsample3_linear(grid: np.ndarray, res: int) -> np.ndarray:
