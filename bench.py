@@ -244,13 +244,19 @@ def bench_e2e_seconds():
     return rows, ctx
 
 
-def bench_pipelined_assets_per_min(ctx, n: int = 4) -> float:
+def bench_pipelined_assets_per_min(ctx, n: int = 8) -> float:
     """assets/min with the serve_assets software pipeline (host
     extraction of asset i overlaps device denoise of asset i+1),
     including per-asset matting + encode like the serial chain. Reuses
     the e2e bench's already-compiled artifacts. Two extraction workers
     (matching serve_assets' default): asset i's host mesh stages run
-    while asset i+1's stage-2 device dispatches wait in the queue."""
+    while asset i+1's stage-2 device dispatches wait in the queue.
+
+    n=8 (r5, was 4): the metric is steady-state throughput, but the
+    measured window carries one pipeline fill (first asset's denoise
+    with no extraction to overlap) and one drain (last asset's ~1.5 s
+    extraction tail with no denoise to hide it) — ~2 s of non-recurring
+    edge cost that at n=4 depressed the reading by ~15%."""
     from concurrent.futures import ThreadPoolExecutor
 
     P = ctx["P"]

@@ -434,6 +434,17 @@ def _bake_query_u8_cells(params, pts2, inv2, cells, cell_res: int = 64,
     0.899 s -> 0.450 s at max uint8 texel delta 7 vs the per-point
     path — the same delta class as the accepted exact-k24-vs-k32 gap.
 
+    Rejected r5 alternative, priced: extending the refine's cell-major
+    dense-gather restructure (_cells_sdf_dense) to the bake — texels
+    host-tiled into 64-point tiles per cell, one contiguous 10 KB
+    payload gather per (tile, prim), separable one-hot contractions —
+    measured SLOWER (1.25 s vs 0.75 s warm at 624k texels/17.4k cells,
+    plus a 279 s cold compile from ~270 lax.map steps of 6-D einsums):
+    bake texels average only ~37 per cell, so tile padding inflates the
+    point count 1.8x and the per-(point, prim) one-hot weight tensors
+    dwarf the row-gather savings that paid off for the refine's dense
+    64-points-per-cell lattice.
+
     pts2 [n_b, B, 3] int16 fixed-point; inv2 [n_b, B] int32 indices
     into ``cells`` [U] int32 flat cell ids (host-deduplicated).
     Returns [n_b, B, 5] uint8."""
@@ -461,7 +472,6 @@ def _bake_query_u8_cells(params, pts2, inv2, cells, cell_res: int = 64,
         return jnp.round(jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
     return jax.lax.map(one, (pts2, inv2))
-
 
 @partial(jax.jit, static_argnames=("coarse", "res", "dim_feat", "prim_shape",
                                    "top_k"))
