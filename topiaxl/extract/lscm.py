@@ -346,6 +346,12 @@ def quality_uv_unwrap(
     6 texels at a 1024^2 bake (xatlas uses 1-4); bilinear lookups read
     1 texel, and the seam inpaint extends each chart's colors outward,
     so the gap trades no visible bleed for texel density.
+
+    ``pack_grid`` trades pack time for coverage (bitmap quantization is
+    the residual loss at the default): on the r5 bench mesh, 512 ->
+    0.744 coverage in 0.5 s pack, 2048 -> 0.766 in ~60 s at identical
+    charts/stretch. 512 is the serving default; raise it only for
+    offline quality-max exports.
     """
     v = np.asarray(v, np.float64)
     f = np.asarray(f, np.int64)

@@ -430,9 +430,12 @@ def _bake_query_u8_cells(params, pts2, inv2, cells, cell_res: int = 64,
     ONE top-k over the unique cells (prim slab dilated by the cell
     half-width vs cell center — a superset of every prim touching any
     point of the cell, ordered by overlap margin) replaces ~600k
-    per-point top-ks. Measured on v5e at the bench bake (612k texels):
-    0.899 s -> 0.450 s at max uint8 texel delta 7 vs the per-point
-    path — the same delta class as the accepted exact-k24-vs-k32 gap.
+    per-point top-ks, at max uint8 texel delta 7 vs the per-point path —
+    the same delta class as the accepted exact-k24-vs-k32 gap. Measured
+    on v5e: 0.899 -> 0.450 s at the r5-dev 612k-texel bake; the r5
+    driver bench records 0.82 s at 624k texels / ~17k occupied cells
+    (bench-host jitter and a denser cell set both move this number —
+    `bake_queries` in BENCH is the standing record).
 
     Rejected r5 alternative, priced: extending the refine's cell-major
     dense-gather restructure (_cells_sdf_dense) to the bake — texels
